@@ -1,0 +1,202 @@
+"""Validated, dataclass-based configuration.
+
+Replaces the reference's raw YAML dict (`utils.py:57-59` + schema in
+`configs/celeba_faces.yaml`) with typed, validated dataclasses.  The reference
+YAML schema loads unchanged via :func:`load_config`; TPU-specific knobs
+(compute dtype, mesh shape, per-device batch) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+_VALID_ACTIVATIONS = ("relu", "lrelu", "prelu", "selu", "tanh", "sigmoid", "none")
+_VALID_PAD = ("zero", "reflect", "replicate")
+_VALID_GAN = ("lsgan", "nsgan", "wgan")
+_VALID_INIT = ("gaussian", "xavier", "kaiming", "orthogonal", "default")
+_VALID_LR_POLICY = ("const", "step", "cosa")
+_VALID_DIST_MODE = ("kls", "kl", "em")
+
+
+@dataclass
+class GenConfig:
+    """Generator hyperparameters (reference: `configs/celeba_faces.yaml:44-60`)."""
+
+    dim: int = 64                  # filters in bottommost conv layer
+    mlp_dim: int = 256             # hidden width of the AdaIN-parameter MLP
+    c_dim: int = 8                 # latent dims per attribute
+    num_cls: int = 8               # number of attributes
+    activ: str = "relu"
+    style_downsample: int = 5      # stride-2 stages in the style encoder
+    content_downsample: int = 2    # stride-2 stages in the content encoder
+    n_res: int = 4                 # residual blocks in content encoder / decoder
+    pad_type: str = "reflect"
+    use_attention: bool = True
+    embed_dim: int = 300           # word-embedding dim
+    hidden_size: int = 300         # LSTM hidden size
+    num_layers: int = 2            # LSTM layers
+    dropout_in: float = 0.1
+    dropout_out: float = 0.1
+    use_map: bool = True           # 2-layer mapping MLP in the style encoder
+
+    @property
+    def style_dim(self) -> int:
+        # reference: networks_v2.py:28
+        return self.c_dim * self.num_cls
+
+    def validate(self) -> None:
+        assert self.activ in _VALID_ACTIVATIONS, f"bad activ {self.activ}"
+        assert self.pad_type in _VALID_PAD, f"bad pad_type {self.pad_type}"
+        assert self.style_downsample >= 2
+        assert self.content_downsample >= 1
+        assert self.num_layers >= 1
+
+
+@dataclass
+class DisConfig:
+    """Discriminator hyperparameters (reference: `configs/celeba_faces.yaml:61-71`)."""
+
+    dim: int = 64
+    norm: str = "none"
+    activ: str = "lrelu"
+    n_layer: int = 5
+    gan_type: str = "lsgan"
+    num_scales: int = 2
+    pad_type: str = "reflect"
+    num_cls: int = 8
+    image_size: int = 128
+    dataset: str = "CelebA"
+
+    def validate(self) -> None:
+        assert self.gan_type in _VALID_GAN, f"bad gan_type {self.gan_type}"
+        assert self.activ in _VALID_ACTIVATIONS
+        assert self.pad_type in _VALID_PAD
+        # every scale must survive n_layer stride-2 convs
+        smallest = self.image_size // (2 ** (self.num_scales - 1))
+        assert smallest // (2 ** self.n_layer) >= 1, (
+            f"image_size {self.image_size} too small for "
+            f"{self.num_scales} scales x {self.n_layer} layers"
+        )
+
+
+@dataclass
+class Config:
+    """Full experiment configuration.
+
+    Field names track the reference YAML (`configs/celeba_faces.yaml`) so that
+    file loads directly; extra TPU-first fields are documented inline.
+    """
+
+    dataset: str = "CelebA"
+
+    # logger options
+    image_save_iter: int = 10000
+    image_display_iter: int = 500
+    display_size: int = 8
+    snapshot_save_iter: int = 10000
+    log_iter: int = 100
+
+    # optimization
+    max_iter: int = 1_000_000
+    batch_size: int = 16           # reference trains at 1 (`configs:13`); TPU wants >=8/chip
+    weight_decay: float = 1e-4     # torch-style coupled L2 (added to grads pre-Adam)
+    beta1: float = 0.5
+    beta2: float = 0.999
+    init: str = "kaiming"
+    lr: float = 1e-4
+    lr_policy: str = "step"
+    step_size: int = 100_000
+    ds_iter: int = 800_000
+    eta_min: float = 0.0
+    t_mult: int = 1
+    gamma: float = 0.5
+    stddev: float = 0.5            # GMM component stddev
+    n_critic: int = 1              # D updates per G update (reference: train.py:31)
+
+    # loss weights
+    gan_w: float = 1.0
+    cls_w: float = 1.0
+    ds_w: float = 1.0
+    kl_w: float = 0.1
+    recon_x_w: float = 10.0
+    recon_s_w: float = 1.0
+    recon_c_w: float = 1.0
+    recon_x_cyc_w: float = 10.0
+    vgg_w: float = 0.1
+    gp_w: float = 0.0
+    use_r1: bool = False
+    dist_w: float = 0.1
+    dist_mode: str = "kls"
+
+    c_dim: int = 8
+    v_dim: int = 1
+
+    gen: GenConfig = field(default_factory=GenConfig)
+    dis: DisConfig = field(default_factory=DisConfig)
+
+    # data options
+    input_dim: int = 3
+    num_workers: int = 2
+    image_size: int = 128
+    crop_size: int = 178
+    data_root: str = "./datasets/celeba/images"
+    attr_path: str = "./datasets/celeba/list_attr_celeba.txt"
+    pretrained_embed: Optional[str] = "./datasets/embeddings.npy"
+    use_pretrain: bool = False
+    gen_pretrain: str = ""
+    dis_pretrain: str = ""
+    vgg_model_path: str = ""
+    max_text_len: int = 80         # tokens before BOS/EOS (reference: celeba_data.py:98)
+
+    # --- TPU-first additions (no reference equivalent) ---
+    seed: int = 1234               # reference: train.py:23
+    compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay float32
+    mesh_data: int = -1            # data-parallel axis size; -1 = all local devices
+    mesh_model: int = 1            # model/tensor-parallel axis size
+    d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
+    use_pallas: bool = True        # fused Pallas instance-norm kernels on TPU
+
+    def validate(self) -> "Config":
+        assert self.init in _VALID_INIT
+        assert self.lr_policy in _VALID_LR_POLICY
+        assert self.dist_mode in _VALID_DIST_MODE
+        assert self.batch_size >= 1
+        assert self.n_critic >= 1
+        assert self.compute_dtype in ("float32", "bfloat16")
+        self.gen.validate()
+        self.dis.validate()
+        assert self.gen.c_dim == self.c_dim
+        assert self.dis.image_size == self.image_size
+        return self
+
+    @property
+    def style_dim(self) -> int:
+        return self.gen.style_dim
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _filter_fields(cls, raw: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in raw.items() if k in names}
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    """Build a validated Config from a (possibly reference-format) dict."""
+    raw = dict(raw)
+    gen = GenConfig(**_filter_fields(GenConfig, raw.pop("gen", {}) or {}))
+    dis = DisConfig(**_filter_fields(DisConfig, raw.pop("dis", {}) or {}))
+    cfg = Config(gen=gen, dis=dis, **_filter_fields(Config, raw))
+    return cfg.validate()
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config file (reference schema accepted unchanged)."""
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    return config_from_dict(raw or {})

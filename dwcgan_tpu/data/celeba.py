@@ -1,0 +1,115 @@
+"""CelebA dataset: attribute parsing, split, pairing, text synthesis.
+
+Behavior parity with `/root/reference/data_ios/celeba_data.py`:
+- parse `list_attr_celeba.txt`, select 8 attributes              (:46-66)
+- seed-1234 shuffle; first 1,999 lines -> test, rest -> train    (:56-71)
+- each sample pairs with a *random other sample's* label         (:92)
+- command synthesized on the fly, tokenized to fixed shape       (:97-100)
+- CenterCrop(crop)->Resize(size)->[-1,1]; train adds random flip
+  (reference transform stack: data_loader.py:12-24)
+- grayscale images broadcast to RGB                              (:104-105)
+
+TPU-first difference: __getitem__ returns NumPy NHWC arrays and all text is
+padded to a constant width so device shapes are static.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dwcgan_tpu.text.synthesis import CELEBA_ATTRS, TextSynthesizer
+from dwcgan_tpu.text.vocab import Vocab, tokens_to_ids
+
+try:  # Pillow is optional: synthetic pipelines never touch it
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _center_crop_resize(img: "Image.Image", crop: int, size: int) -> np.ndarray:
+    w, h = img.size
+    left, top = (w - crop) // 2, (h - crop) // 2
+    img = img.crop((left, top, left + crop, top + crop))
+    img = img.resize((size, size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32)
+    if arr.ndim == 2:  # grayscale -> RGB
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr / 127.5 - 1.0  # Normalize(0.5, 0.5) equivalent
+
+
+class CelebADataset:
+    """CelebA images + attribute labels + synthesized commands."""
+
+    def __init__(
+        self,
+        image_dir: str,
+        attr_path: str,
+        selected_attrs: Tuple[str, ...] = CELEBA_ATTRS,
+        mode: str = "train",
+        crop_size: int = 178,
+        image_size: int = 128,
+        max_text_len: int = 80,
+        seed: int = 1234,
+        test_split: int = 1999,
+    ):
+        self.image_dir = image_dir
+        self.mode = mode
+        self.crop_size = crop_size
+        self.image_size = image_size
+        self.max_text_len = max_text_len
+        self.vocab = Vocab("CelebA")
+        self.rng = random.Random(seed)
+        self.synth = TextSynthesizer(self.rng)
+
+        self.samples = self._parse(attr_path, selected_attrs, seed, test_split)
+
+    def _parse(self, attr_path, selected_attrs, seed, test_split) -> List[Tuple[str, List[int]]]:
+        with open(attr_path, "r") as f:
+            lines = [ln.rstrip() for ln in f]
+        attr_names = lines[1].split()
+        attr2idx = {a: i for i, a in enumerate(attr_names)}
+        cols = [attr2idx[a] for a in selected_attrs]
+
+        rows = lines[2:]
+        # split must match the reference exactly (seed-1234 shuffle,
+        # first 1,999 -> test: celeba_data.py:56-71)
+        shuffler = random.Random(seed)
+        shuffler.shuffle(rows)
+        out = []
+        for i, row in enumerate(rows):
+            parts = row.split()
+            label = [int(parts[1 + c] == "1") for c in cols]
+            is_test = i < test_split
+            if (self.mode == "test") == is_test:
+                out.append((parts[0], label))
+        return out
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, index: int):
+        """Returns (image [H,W,3] f32 in [-1,1], src_label, trg_label, txt_ids, txt_len)."""
+        fname, src_label = self.samples[index]
+        _, trg_label = self.rng.choice(self.samples)
+
+        command = self.synth.labels2text(np.array(src_label), np.array(trg_label))
+        ids, lens = tokens_to_ids([command.split()], self.vocab, self.max_text_len)
+
+        if Image is None:
+            raise RuntimeError("Pillow not available; use the synthetic pipeline")
+        img = Image.open(os.path.join(self.image_dir, fname)).convert("RGB")
+        if self.mode == "train" and self.rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        image = _center_crop_resize(img, self.crop_size, self.image_size)
+
+        return (
+            image,
+            np.asarray(src_label, dtype=np.float32),
+            np.asarray(trg_label, dtype=np.float32),
+            ids[0],
+            lens[0],
+        )

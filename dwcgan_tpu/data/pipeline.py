@@ -1,0 +1,148 @@
+"""Host-side batching / prefetch pipeline feeding the device mesh.
+
+The reference uses a torch DataLoader with worker processes
+(`data_loader.py:6-32`).  Here: a thread-pool prefetch pipeline producing
+fixed-shape NumPy batches, plus `shard_batch` placing them on a
+`jax.sharding.Mesh` (batch sharded over the data axis) via
+`jax.make_array_from_process_local_data` — multi-host ready.
+
+`synthetic_batch` fabricates statistically-plausible batches (random images,
+*real* synthesized text from random label pairs) for tests and benches that
+must run without the CelebA images on disk.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from dwcgan_tpu.data.labels import all_domains
+from dwcgan_tpu.text.synthesis import TextSynthesizer
+from dwcgan_tpu.text.vocab import Vocab, tokens_to_ids
+
+
+class Batch(NamedTuple):
+    """One training batch; everything fixed-shape.
+
+    image:     [B, H, W, 3] float32 in [-1, 1]
+    src_label: [B, num_cls] float32 in {0, 1}
+    trg_label: [B, num_cls] float32 in {0, 1}
+    txt:       [B, max_len + 2] int32 token ids (BOS ... EOS PAD*)
+    txt_len:   [B] int32 (BOS + words + EOS)
+    """
+
+    image: np.ndarray
+    src_label: np.ndarray
+    trg_label: np.ndarray
+    txt: np.ndarray
+    txt_len: np.ndarray
+
+
+def synthetic_batch(
+    batch_size: int,
+    image_size: int = 128,
+    num_cls: int = 8,
+    max_text_len: int = 80,
+    seed: int = 0,
+    dataset: str = "CelebA",
+) -> Batch:
+    """Random images + genuinely synthesized commands from random label pairs."""
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    synth = TextSynthesizer(rng)
+    vocab = Vocab(dataset)
+    domains = all_domains(num_cls)
+    src = domains[nprng.integers(0, len(domains), batch_size)]
+    trg = domains[nprng.integers(0, len(domains), batch_size)]
+    cmds = [synth.labels2text(s, t).split() for s, t in zip(src, trg)]
+    txt, lens = tokens_to_ids(cmds, vocab, max_len=max_text_len)
+    image = nprng.uniform(-1.0, 1.0, (batch_size, image_size, image_size, 3)).astype(np.float32)
+    return Batch(image, src.astype(np.float32), trg.astype(np.float32), txt, lens)
+
+
+class DataPipeline:
+    """Threaded prefetching loader over a map-style dataset.
+
+    dataset must implement __len__ and __getitem__ returning the 5-tuple
+    produced by `CelebADataset.__getitem__`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        assert len(dataset) >= batch_size, "dataset smaller than one batch"
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            stop = n - (n % self.batch_size) if self.drop_last else n
+            for i in range(0, stop, self.batch_size):
+                yield order[i : i + self.batch_size]
+
+    def _collate(self, idxs: Sequence[int]) -> Batch:
+        items = [self.dataset[int(i)] for i in idxs]
+        return Batch(*(np.stack([it[k] for it in items]) for k in range(5)))
+
+    def __iter__(self) -> Iterator[Batch]:
+        """Infinite batch iterator with background prefetch."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stream = self._index_stream()
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    idxs = next(stream)
+                batch = self._collate(idxs)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+def shard_batch(batch: Batch, mesh, data_axis: str = "data"):
+    """Place a host batch on the mesh, sharded over the data axis.
+
+    Uses `jax.make_array_from_process_local_data`, which also handles the
+    multi-host case (each process contributes its local rows).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        sharding = NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return Batch(*(put(np.asarray(x)) for x in batch))
