@@ -1,0 +1,296 @@
+"""The fused training step: one XLA program per iteration.
+
+The reference runs `dis_update` then `gen_update` as separate Python calls
+with separate backwards (`/root/reference/train.py:103-107`, `solver.py:151-240,
+317-353`).  Here both updates — D forward/backward/apply, then G's full
+4-encode / 5-decode / text-encode graph, both optimizers, the EMA updates,
+and every loss term — compile into a single jitted function.  Semantics
+deliberately preserved:
+
+- D updates first and G's adversarial loss sees the *updated* D (the
+  reference's sequential `dis_opt.step()` -> `gen_update` ordering)
+- the D loss sees generator outputs through `stop_gradient` (the reference
+  leaves the graph attached but discards G's gradients — solver.py note at
+  SURVEY §3.3; stop_gradient is the efficient equivalent)
+- diversity weight decays 1e-5 per G update from ds_w, floored at 0, and is
+  SUBTRACTED (solver.py:183, 238)
+- attention blending activates at iteration >= 10000 (solver.py:109-111),
+  expressed as a traced `jnp.where` so it never retriggers compilation
+- R1 penalty every d_reg_every=16 steps via `lax.cond` (solver.py:346-350)
+- EMA (decay 0.999) every iteration for both nets (train.py:109)
+
+Known deviation: the reference evaluates D on the real batch twice per D
+step (once per `calc_dis_loss` call, networks.py:119-120); D is deterministic
+so the second pass is identical and is computed once here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dwcgan_tpu.config import Config
+from dwcgan_tpu.losses.gan import (
+    dis_loss, diversity_loss, gen_adv_loss, gradient_penalty, r1_penalty, recon_l1,
+)
+from dwcgan_tpu.losses.gmm import gmm_emd, gmm_kl
+from dwcgan_tpu.train.sampling import sample_style
+from dwcgan_tpu.train.schedules import lr_schedule
+from dwcgan_tpu.train.state import TrainState, ema_update
+
+
+def _blend(img, att, x_real, att_on):
+    """Attention-masked edit: out = img*att + x_real*(1-att) when attention
+    is active (solver.py:158-170), else the raw decode."""
+    if att is None:
+        return img
+    att = att.astype(jnp.float32)
+    blended = img.astype(jnp.float32) * att + x_real * (1.0 - att)
+    return jnp.where(att_on, blended, img.astype(jnp.float32))
+
+
+def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
+                    vgg_loss_fn=None):
+    """Build the jitted train_step(state, batch) -> (state, metrics).
+
+    vgg_loss_fn: optional callable (x, y) -> scalar perceptual loss; when
+    None the vgg term is statically off (reference gates on vgg_w > 0 and
+    model availability, solver.py:79-83).
+    """
+    K, C = cfg.gen.num_cls, cfg.c_dim
+    stddev = cfg.stddev
+    sigma_sq = cfg.stddev ** 2
+    sched = lr_schedule(cfg)
+    use_vgg = vgg_loss_fn is not None and cfg.vgg_w > 0 and cfg.recon_x_cyc_w > 0
+
+    def g_encode(p, x, key):
+        return gen.apply({"params": p}, x, deterministic=False,
+                         rngs={"dropout": key}, method="encode")
+
+    def g_decode(p, content, style):
+        return gen.apply({"params": p}, content, style, method="decode")
+
+    def g_txt(p, style, txt, lens, key):
+        return gen.apply({"params": p}, style, txt, lens, deterministic=False,
+                         rngs={"dropout": key}, method="encode_txt")
+
+    def d_apply(p, x, multiscale=True):
+        return dis.apply({"params": p}, x, multiscale)
+
+    # ---------------- D update ----------------
+
+    def dis_update(state: TrainState, batch, key, att_on, step):
+        x_real = batch.image
+        c_trg = batch.trg_label * 2.0 - 1.0
+        k_enc, k_txt, k_sty, k_gp = jax.random.split(key, 4)
+
+        # fakes from the current G, detached (solver.py:320-331)
+        content, mu, _ = g_encode(state.gen_params, x_real, k_enc)
+        style_real = mu.reshape(mu.shape[0], -1)
+        mu_txt, _ = g_txt(state.gen_params, style_real, batch.txt,
+                          batch.txt_len, k_txt)
+        style1 = sample_style(k_sty, c_trg, C, stddev)
+        x_fake, att_f = g_decode(state.gen_params, content,
+                                 mu_txt.reshape(mu.shape[0], -1))
+        x_fake1, att_f1 = g_decode(state.gen_params, content, style1)
+        x_fake = jax.lax.stop_gradient(_blend(x_fake, att_f, x_real, att_on))
+        x_fake1 = jax.lax.stop_gradient(_blend(x_fake1, att_f1, x_real, att_on))
+
+        def loss_fn(dp):
+            outs_real = d_apply(dp, x_real)
+            args = (batch.src_label, cfg.dis.gan_type, cfg.dataset,
+                    cfg.gan_w, cfg.cls_w)
+            loss = dis_loss(d_apply(dp, x_fake), outs_real, *args) \
+                 + dis_loss(d_apply(dp, x_fake1), outs_real, *args)
+            metrics = {"loss_dis": loss}
+
+            loss_gp = jnp.zeros((), jnp.float32)
+            if cfg.gp_w > 0:
+                alpha = jax.random.uniform(k_gp, (x_real.shape[0], 1, 1, 1))
+                x_hat = alpha * x_real + (1 - alpha) * x_fake
+                src0 = lambda x: d_apply(dp, x, multiscale=False)[0][0]
+                loss_gp = gradient_penalty(src0, x_hat) * cfg.gp_w
+                loss += loss_gp
+            metrics["loss_gp"] = loss_gp
+
+            loss_r1 = jnp.zeros((), jnp.float32)
+            if cfg.use_r1:
+                src0 = lambda x: d_apply(dp, x, multiscale=False)[0][0]
+                loss_r1 = jax.lax.cond(
+                    (step + 1) % cfg.d_reg_every == 0,
+                    lambda: r1_penalty(src0, x_real) * 5.0,  # 10./2 (solver.py:349)
+                    lambda: jnp.zeros((), jnp.float32))
+                loss += loss_r1
+            metrics["loss_r1"] = loss_r1
+            metrics["loss_dis_all"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.dis_params)
+        updates, dis_opt_state = dis_tx.update(grads, state.dis_opt_state,
+                                               state.dis_params)
+        dis_params = optax.apply_updates(state.dis_params, updates)
+        return dis_params, dis_opt_state, metrics
+
+    # ---------------- G update ----------------
+
+    def gen_update(gen_params, gen_opt_state, dis_params, batch, key, att_on,
+                   gen_iter):
+        x_real = batch.image
+        c_src = batch.src_label * 2.0 - 1.0
+        c_trg = batch.trg_label * 2.0 - 1.0
+        n = x_real.shape[0]
+        keys = jax.random.split(key, 8)
+        # ds weight: decremented before use each G update (solver.py:183,238)
+        ds_w = jnp.maximum(cfg.ds_w - (gen_iter + 1).astype(jnp.float32) * 1e-5, 0.0)
+
+        def loss_fn(gp_):
+            content_real, mu, logvar = g_encode(gp_, x_real, keys[0])
+            style_real = mu.reshape(n, -1)
+
+            # within-domain reconstruction (solver.py:158-162)
+            xr, att_r = g_decode(gp_, content_real, style_real)
+            x_real_rec = _blend(xr, att_r, x_real, att_on)
+            content_real_rec, mu_rec, _ = g_encode(gp_, x_real_rec, keys[1])
+
+            # text-guided translation (solver.py:165-170)
+            mu_txt, logvar_txt = g_txt(gp_, style_real, batch.txt,
+                                       batch.txt_len, keys[2])
+            style_txt = mu_txt.reshape(n, -1)
+            xf, att_xf = g_decode(gp_, content_real, style_txt)
+            x_fake = _blend(xf, att_xf, x_real, att_on)
+
+            # two sampled-style fakes for diversity (solver.py:174-183)
+            style1 = sample_style(keys[3], c_trg, C, stddev)
+            style2 = sample_style(keys[4], c_trg, C, stddev)
+            xf1, att1 = g_decode(gp_, content_real, style1)
+            xf2, att2 = g_decode(gp_, content_real, style2)
+            x_fake1 = _blend(xf1, att1, x_real, att_on)
+            x_fake2 = _blend(xf2, att2, x_real, att_on)
+            loss_ds = diversity_loss(x_fake1, x_fake2)
+            content_rand, mu_rand, _ = g_encode(gp_, x_fake1, keys[5])
+
+            # re-encode the translation (solver.py:186)
+            content_fake_rec, mu_fake_rec, _ = g_encode(gp_, x_fake, keys[6])
+
+            # cycle (solver.py:188-192)
+            loss_cyc = jnp.zeros((), jnp.float32)
+            loss_vgg = jnp.zeros((), jnp.float32)
+            if cfg.recon_x_cyc_w > 0:
+                xc, att_c = g_decode(gp_, content_fake_rec, style_real)
+                x_cycle = _blend(xc, att_c, x_real, att_on)
+                loss_cyc = recon_l1(x_cycle, x_real)
+                if use_vgg:
+                    loss_vgg = vgg_loss_fn(x_real, x_cycle)
+
+            # reconstruction losses (solver.py:195-201)
+            loss_recon_x = recon_l1(x_real_rec, x_real)
+            loss_recon_c_real = recon_l1(content_real_rec, content_real)
+            loss_recon_c_fake = recon_l1(content_fake_rec, content_real)
+            loss_recon_c_rand = recon_l1(content_rand, content_real)
+            loss_recon_s_real = recon_l1(mu_rec, mu)
+            loss_recon_s_fake = recon_l1(mu_fake_rec, mu_txt)
+            loss_recon_s_rand = recon_l1(mu_rand.reshape(n, -1), style1)
+
+            # adversarial on both fakes, updated D (solver.py:208-209)
+            adv_args = (batch.trg_label, cfg.dis.gan_type, cfg.dataset,
+                        cfg.gan_w, cfg.cls_w)
+            loss_adv = gen_adv_loss(d_apply(dis_params, x_fake), *adv_args) \
+                     + gen_adv_loss(d_apply(dis_params, x_fake1), *adv_args)
+
+            # distribution matching to the GMM prior (solver.py:212-218)
+            if cfg.dist_mode in ("kls", "kl"):
+                loss_kl_x = gmm_kl(mu, logvar, c_src, sigma_sq)
+                loss_kl_trg = gmm_kl(mu_txt, logvar_txt, c_trg, sigma_sq)
+            else:
+                loss_kl_x = gmm_emd(mu, c_src)
+                loss_kl_trg = gmm_emd(mu_txt, c_trg)
+
+            total = (loss_adv
+                     + cfg.recon_x_w * loss_recon_x
+                     + cfg.recon_c_w * (loss_recon_c_real + loss_recon_c_fake
+                                        + loss_recon_c_rand)
+                     + cfg.recon_s_w * (loss_recon_s_real + loss_recon_s_fake
+                                        + loss_recon_s_rand)
+                     + cfg.recon_x_cyc_w * loss_cyc
+                     + cfg.kl_w * (loss_kl_x + loss_kl_trg)
+                     + cfg.vgg_w * loss_vgg
+                     - ds_w * loss_ds)
+
+            metrics = {
+                "loss_gen_total": total,
+                "loss_gen_adv": loss_adv,
+                "loss_gen_recon_x": loss_recon_x,
+                "loss_gen_recon_c_real": loss_recon_c_real,
+                "loss_gen_recon_c_fake": loss_recon_c_fake,
+                "loss_gen_recon_c_rand": loss_recon_c_rand,
+                "loss_gen_recon_s_real": loss_recon_s_real,
+                "loss_gen_recon_s_fake": loss_recon_s_fake,
+                "loss_gen_recon_s_rand": loss_recon_s_rand,
+                "loss_gen_cycrecon_x": loss_cyc,
+                "loss_kl_x": loss_kl_x,
+                "loss_kl_trg": loss_kl_trg,
+                "loss_gen_vgg": loss_vgg,
+                "loss_ds": loss_ds,
+                "ds_w": ds_w,
+            }
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+        updates, gen_opt_state = gen_tx.update(grads, gen_opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        return gen_params, gen_opt_state, metrics
+
+    # ---------------- fused step ----------------
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        step = state.step
+        key = jax.random.fold_in(state.rng, step)
+        k_d, k_g = jax.random.split(key)
+        att_on = jnp.logical_and(cfg.gen.use_attention, step >= 10000)
+
+        dis_params, dis_opt_state, d_metrics = dis_update(
+            state, batch, k_d, att_on, step)
+
+        gen_iter = step // cfg.n_critic
+
+        def run_g(_):
+            return gen_update(state.gen_params, state.gen_opt_state,
+                              dis_params, batch, k_g, att_on, gen_iter)
+
+        def skip_g(_):
+            zero = {k: jnp.zeros((), jnp.float32) for k in _GEN_METRIC_KEYS}
+            return state.gen_params, state.gen_opt_state, zero
+
+        if cfg.n_critic == 1:
+            gen_params, gen_opt_state, g_metrics = run_g(None)
+        else:
+            gen_params, gen_opt_state, g_metrics = jax.lax.cond(
+                (step + 1) % cfg.n_critic == 0, run_g, skip_g, None)
+
+        # EMA every iteration (train.py:108-109)
+        new_state = state.replace(
+            step=step + 1,
+            gen_params=gen_params,
+            dis_params=dis_params,
+            gen_opt_state=gen_opt_state,
+            dis_opt_state=dis_opt_state,
+            ema_gen_params=ema_update(gen_params, state.ema_gen_params),
+            ema_dis_params=ema_update(dis_params, state.ema_dis_params),
+        )
+        metrics = {**d_metrics, **g_metrics, "lr": sched(step)}
+        return new_state, metrics
+
+    return train_step
+
+
+_GEN_METRIC_KEYS = (
+    "loss_gen_total", "loss_gen_adv", "loss_gen_recon_x",
+    "loss_gen_recon_c_real", "loss_gen_recon_c_fake", "loss_gen_recon_c_rand",
+    "loss_gen_recon_s_real", "loss_gen_recon_s_fake", "loss_gen_recon_s_rand",
+    "loss_gen_cycrecon_x", "loss_kl_x", "loss_kl_trg", "loss_gen_vgg",
+    "loss_ds", "ds_w",
+)
