@@ -1,0 +1,85 @@
+"""Headline benchmark: full fused-train-step throughput on one TPU chip.
+
+Measures images/sec/chip for the flagship CelebA 128px configuration (the
+full D+G update: 4 encoder passes, 5 decoder passes, text encoder, both
+multi-scale D passes, both optimizers, EMA — SURVEY §3.2-3.3), bfloat16
+compute, synthetic batches (the reference trains on 128px CelebA; image
+content does not affect throughput).
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md).  The
+denominator is an estimate of the reference's training throughput: batch 1
+at ~0.35 s/iteration for this graph on a contemporary GPU => ~2.86 img/s.
+Documented as an estimate; the absolute images/sec/chip is the durable metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC_ESTIMATE = 2.86
+
+
+def main():
+    import jax
+
+    from dwcgan_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
+    from dwcgan_tpu.config import load_config
+    from dwcgan_tpu.data.pipeline import Batch, synthetic_batch
+    from dwcgan_tpu.parallel.mesh import create_mesh, place_state, shard_spec
+    from dwcgan_tpu.train.state import build_models, create_train_state, make_optimizer
+    from dwcgan_tpu.train.step import make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
+                                   "configs", "celeba_faces.yaml"))
+    cfg.batch_size = batch_size
+    cfg.attr_path = "/nonexistent"
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(data=n_dev, model=1)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
+    state = place_state(state, mesh, use_tp=False)
+    gen, dis = build_models(cfg, 102)
+    gen_tx = make_optimizer(cfg, state.gen_params)
+    dis_tx = make_optimizer(cfg, state.dis_params)
+    step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+                      donate_argnums=0)
+
+    b = synthetic_batch(batch_size, cfg.image_size, seed=0)
+    batch = Batch(*(jax.device_put(np.asarray(x), shard_spec(mesh, x.ndim))
+                    for x in b))
+
+    # warmup: compile + 2 steady steps
+    for _ in range(3):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(float(metrics["loss_gen_total"])), "non-finite loss"
+    imgs_per_sec = batch_size * steps / dt
+    imgs_per_sec_per_chip = imgs_per_sec / n_dev
+
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_128px",
+        "value": round(imgs_per_sec_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

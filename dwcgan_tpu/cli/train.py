@@ -1,0 +1,209 @@
+"""Training CLI (reference `train.py` equivalent).
+
+    python -m dwcgan_tpu.cli.train --config configs/celeba_faces.yaml \
+        --output_path outputs --resume 0
+
+Differences from the reference driver by design (all TPU-first):
+- everything per-iteration happens inside one jitted step on the mesh
+- checkpoints are lossless Orbax snapshots of the whole TrainState
+- sampling grids are rendered from the EMA generator
+- `--synthetic_data` runs the full pipeline without CelebA on disk
+  (random images + genuinely synthesized commands)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import shutil
+import sys
+
+import jax
+import numpy as np
+
+from dwcgan_tpu.config import load_config
+from dwcgan_tpu.data.celeba import CelebADataset
+from dwcgan_tpu.data.pipeline import Batch, DataPipeline, shard_batch, synthetic_batch
+from dwcgan_tpu.models.generator import build_embedding_matrix
+from dwcgan_tpu.parallel.mesh import create_mesh, place_state, shard_spec
+from dwcgan_tpu.text.vocab import Vocab
+from dwcgan_tpu.train.checkpoint import CheckpointManager
+from dwcgan_tpu.train.sampler import make_sample_fn
+from dwcgan_tpu.train.state import build_models, create_train_state, make_optimizer
+from dwcgan_tpu.train.step import make_train_step
+from dwcgan_tpu.utils.html import write_html_gallery
+from dwcgan_tpu.utils.images import save_image_grid
+from dwcgan_tpu.utils.logging import MetricWriter
+from dwcgan_tpu.utils.timer import StepTimer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DWC-GAN TPU training")
+    p.add_argument("--config", type=str, default="configs/celeba_faces.yaml")
+    p.add_argument("--output_path", type=str, default=".")
+    p.add_argument("--resume", type=int, default=0)
+    p.add_argument("--use_pretrained_embed", type=int, default=1)
+    p.add_argument("--n_critic", type=int, default=None,
+                   help="override config n_critic")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override config max_iter")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="train on synthetic batches (no CelebA needed)")
+    p.add_argument("--mesh_model", type=int, default=None,
+                   help="override tensor-parallel axis size")
+    return p.parse_args(argv)
+
+
+def load_pretrained_embeddings(path):
+    """The reference ships a pickled OrderedDict[word -> float32[300]]
+    (tools/build_embeddings.py); accept pickle or .npz."""
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        data = np.load(path, allow_pickle=True)
+        return data.item() if hasattr(data, "item") else None
+
+
+class SyntheticDataset:
+    """Map-style dataset over freshly synthesized batches."""
+
+    def __init__(self, cfg, size=4096):
+        self.cfg, self.size = cfg, size
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, i):
+        b = synthetic_batch(1, self.cfg.image_size, self.cfg.gen.num_cls,
+                            self.cfg.max_text_len, seed=i, dataset=self.cfg.dataset)
+        return (b.image[0], b.src_label[0], b.trg_label[0], b.txt[0], b.txt_len[0])
+
+
+def main(argv=None):
+    from dwcgan_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
+    args = parse_args(argv)
+    cfg = load_config(args.config)
+    if args.n_critic is not None:
+        cfg.n_critic = max(1, args.n_critic)
+    if args.max_steps is not None:
+        cfg.max_iter = args.max_steps
+    if args.mesh_model is not None:
+        cfg.mesh_model = args.mesh_model
+
+    vocab = Vocab(cfg.dataset)
+    embed_table = None
+    if args.use_pretrained_embed:
+        pre = load_pretrained_embeddings(cfg.pretrained_embed)
+        if pre is not None:
+            embed_table = build_embedding_matrix(vocab, cfg.gen.embed_dim, pre,
+                                                 seed=cfg.seed)
+            print(f"loaded pretrained embeddings for vocab of {vocab.size}")
+
+    # --- mesh + state ---
+    mesh = create_mesh(cfg.mesh_data, cfg.mesh_model)
+    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(cfg, rng, vocab.size, embed_table)
+    n_gen = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.gen_params))
+    n_dis = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.dis_params))
+    print(f"The number of parameters in G: {n_gen}")
+    print(f"The number of parameters in D: {n_dis}")
+    state = place_state(state, mesh, use_tp=cfg.mesh_model > 1)
+
+    gen, dis = build_models(cfg, vocab.size, embed_table)
+    gen_tx = make_optimizer(cfg, state.gen_params,
+                            freeze_embedding=embed_table is not None)
+    dis_tx = make_optimizer(cfg, state.dis_params)
+    train_step = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+                         donate_argnums=0)
+    sample_fn = jax.jit(make_sample_fn(cfg, gen))
+
+    # --- output dirs (reference layout: outputs/<name>/{checkpoints,images}) ---
+    model_name = os.path.splitext(os.path.basename(args.config))[0]
+    out_dir = os.path.join(args.output_path, "outputs", model_name)
+    img_dir = os.path.join(out_dir, "images")
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    log_dir = os.path.join(args.output_path, "logs", model_name)
+    os.makedirs(img_dir, exist_ok=True)
+    shutil.copy(args.config, os.path.join(out_dir, "config.yaml"))
+    writer = MetricWriter(log_dir)
+    ckpt = CheckpointManager(ckpt_dir, max_to_keep=5)
+
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"Resume from iteration {int(state.step)}")
+
+    # --- data ---
+    if args.synthetic_data or not os.path.exists(cfg.attr_path):
+        if not args.synthetic_data:
+            print(f"attr file {cfg.attr_path} not found -> synthetic data")
+        dataset = SyntheticDataset(cfg)
+        test_dataset = dataset
+    else:
+        dataset = CelebADataset(cfg.data_root, cfg.attr_path, mode="train",
+                                crop_size=cfg.crop_size, image_size=cfg.image_size,
+                                max_text_len=cfg.max_text_len, seed=cfg.seed)
+        test_dataset = CelebADataset(cfg.data_root, cfg.attr_path, mode="test",
+                                     crop_size=cfg.crop_size,
+                                     image_size=cfg.image_size,
+                                     max_text_len=cfg.max_text_len, seed=cfg.seed)
+    pipe = DataPipeline(dataset, cfg.batch_size, num_workers=cfg.num_workers,
+                        seed=cfg.seed)
+
+    def fixed_display(ds, n):
+        items = [ds[i] for i in range(n)]
+        return Batch(*(np.stack([it[k] for it in items]) for k in range(5)))
+
+    disp = fixed_display(test_dataset, cfg.display_size)
+    disp_dev = shard_batch(disp, mesh) if cfg.display_size % mesh.shape["data"] == 0 \
+        else Batch(*(jax.device_put(np.asarray(x)) for x in disp))
+
+    def render(tag, step_i):
+        att_on = np.asarray(cfg.gen.use_attention and step_i >= 10000)
+        rows = sample_fn(state.ema_gen_params, jax.random.PRNGKey(step_i),
+                         disp_dev.image, disp_dev.txt, disp_dev.txt_len, att_on)
+        save_image_grid([np.asarray(r) for r in rows], cfg.display_size,
+                        os.path.join(img_dir, f"{tag}.jpg"))
+
+    # --- loop ---
+    timer = StepTimer()
+    timer.lap()
+    for batch in pipe:
+        step_i = int(state.step)
+        if step_i >= cfg.max_iter:
+            break
+        state, metrics = train_step(state, shard_batch(batch, mesh))
+
+        if (step_i + 1) % cfg.log_iter == 0:
+            dt = timer.lap(metrics["loss_gen_total"])
+            sps = cfg.log_iter / dt if dt > 0 else 0.0
+            writer.write(step_i + 1, {**metrics,
+                                      "steps_per_sec": sps,
+                                      "images_per_sec": sps * cfg.batch_size})
+            print(f"Iteration: {step_i + 1:08d}/{cfg.max_iter:08d} "
+                  f"gen {float(metrics['loss_gen_total']):.4f} "
+                  f"dis {float(metrics['loss_dis_all']):.4f} "
+                  f"lr {float(metrics['lr']):.6g} {sps:.2f} it/s")
+
+        if (step_i + 1) % cfg.image_display_iter == 0:
+            render("train_current", step_i)
+        if (step_i + 1) % cfg.image_save_iter == 0:
+            render(f"test_{step_i + 1:08d}", step_i)
+            write_html_gallery(os.path.join(out_dir, "index.html"), step_i + 1,
+                               cfg.image_save_iter)
+        if (step_i + 1) % cfg.snapshot_save_iter == 0:
+            ckpt.save(state)
+
+    ckpt.save(state, wait=True)
+    writer.close()
+    print("Finish training")
+
+
+if __name__ == "__main__":
+    main()
