@@ -61,16 +61,23 @@ def main():
     # warmup: compile + 2 steady steps
     for _ in range(3):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss_gen_total"])
 
-    t0 = time.perf_counter()
+    # per-step timing with a HOST FETCH of a computed value each step:
+    # through the axon loopback relay, block_until_ready returns before
+    # device work completes (observed 50-100x-too-fast "measurements");
+    # a device->host transfer of the loss cannot return early.
+    times = []
+    last_loss = None
     for _ in range(steps):
+        t0 = time.perf_counter()
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+        last_loss = float(metrics["loss_gen_total"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    assert np.isfinite(float(metrics["loss_gen_total"])), "non-finite loss"
-    imgs_per_sec = batch_size * steps / dt
+    assert np.isfinite(last_loss), "non-finite loss"
+    imgs_per_sec = batch_size / dt
     imgs_per_sec_per_chip = imgs_per_sec / n_dev
 
     print(json.dumps({

@@ -120,7 +120,23 @@ def main(argv=None):
     gen_tx = make_optimizer(cfg, state.gen_params,
                             freeze_embedding=embed_table is not None)
     dis_tx = make_optimizer(cfg, state.dis_params)
-    train_step = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+
+    # optional perceptual loss (reference gates on vgg_w + weight availability,
+    # solver.py:79-83; weights come from cli.convert_vgg — no egress here)
+    vgg_loss_fn = None
+    if cfg.vgg_w > 0:
+        vgg_path = cfg.vgg_model_path or os.path.join(args.output_path,
+                                                      "models", "vgg16.npz")
+        if os.path.exists(vgg_path):
+            from dwcgan_tpu.models.vgg import load_vgg_params, make_vgg_loss_fn
+            vgg_loss_fn = make_vgg_loss_fn(load_vgg_params(vgg_path))
+            print(f"perceptual loss on (weights: {vgg_path})")
+        else:
+            print(f"vgg_w={cfg.vgg_w} but no weights at {vgg_path}; "
+                  "perceptual loss off (build with cli.convert_vgg)")
+
+    train_step = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx,
+                                         vgg_loss_fn=vgg_loss_fn),
                          donate_argnums=0)
     sample_fn = jax.jit(make_sample_fn(cfg, gen))
 

@@ -99,6 +99,22 @@ def diversity_loss(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
                             - jax.lax.stop_gradient(x2).astype(jnp.float32)))
 
 
+def isometry_constraint(z1, z2, rec_z1, rec_z2) -> jnp.ndarray:
+    """|d(z1,z2) - d(rec_z1,rec_z2)| with d = mean L1-sum distance
+    (solver.py:116-121; defined but never called in the reference —
+    provided for capability parity)."""
+    def dist(a, b):
+        return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).sum(axis=1))
+    return jnp.abs(dist(z1, z2) - dist(rec_z1, rec_z2))
+
+
+def mode_seeking_constraint(im1, im2, z1, z2, eps: float = 1e-5) -> jnp.ndarray:
+    """1 / (|im1-im2| / |z1-z2| + eps) (solver.py:123-125; unused in the
+    reference training path — provided for capability parity)."""
+    ratio = jnp.mean(jnp.abs(im1 - im2)) / jnp.mean(jnp.abs(z1 - z2))
+    return 1.0 / (ratio + eps)
+
+
 def r1_penalty(dis_apply: Callable[[jnp.ndarray], jnp.ndarray],
                x_real: jnp.ndarray) -> jnp.ndarray:
     """R1-style penalty on reals (solver.py:305-315).

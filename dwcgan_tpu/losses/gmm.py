@@ -34,3 +34,20 @@ def gmm_emd(pred_mu: jnp.ndarray, comp_means: jnp.ndarray) -> jnp.ndarray:
     mu = pred_mu.astype(jnp.float32)
     m = comp_means.astype(jnp.float32)[:, :, None]
     return jnp.abs(mu - m).sum(axis=2).mean(axis=0).sum()
+
+
+def gmm_kl_flat(pred_mu: jnp.ndarray, pred_var: jnp.ndarray,
+                mus: jnp.ndarray, sigma_sq: float) -> jnp.ndarray:
+    """Non-split (v1) KL over flat [N, D] styles (gmm.py:4-10).  Note the v1
+    form takes *variance* directly, not logvar."""
+    mu = pred_mu.astype(jnp.float32)
+    var = pred_var.astype(jnp.float32)
+    m = mus.astype(jnp.float32)
+    kl = 0.5 * (jnp.log(sigma_sq / var) + (var + jnp.square(mu - m)) / sigma_sq - 1.0)
+    return kl.sum(axis=1).mean()
+
+
+def gmm_emd_flat(pred_mu: jnp.ndarray, mus: jnp.ndarray) -> jnp.ndarray:
+    """Non-split (v1) earth-mover over flat [N, D] styles (gmm.py:25-30)."""
+    return jnp.abs(pred_mu.astype(jnp.float32)
+                   - mus.astype(jnp.float32)).sum(axis=1).mean()

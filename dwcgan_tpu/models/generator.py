@@ -62,6 +62,7 @@ class ContentEncoder(nn.Module):
     pad_type: str = "reflect"
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -73,7 +74,7 @@ class ContentEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         kw = dict(activ=self.activ, pad_type=self.pad_type, dtype=self.dtype,
-                  kernel_init=self.kernel_init)
+                  kernel_init=self.kernel_init, use_pallas=self.use_pallas)
         d = self.dim
         x = Conv2dBlock(d, 7, 1, 3, norm="in", **kw)(x)
         for _ in range(self.n_downsample):
@@ -200,6 +201,7 @@ class Decoder(nn.Module):
     use_attention: bool = True
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False
 
     @property
     def num_adain_params(self) -> int:
@@ -212,7 +214,8 @@ class Decoder(nn.Module):
         kw = dict(activ=self.activ, pad_type=self.pad_type, dtype=self.dtype,
                   kernel_init=self.kernel_init)
         sp = adain_params.reshape(content.shape[0], self.n_res, 2, 2, self.dim)
-        x = AdaINResBlocks(self.n_res, self.dim, **kw)(content, sp)
+        x = AdaINResBlocks(self.n_res, self.dim, use_pallas=self.use_pallas,
+                           **kw)(content, sp)
         d = self.dim
         for _ in range(self.n_upsample):
             x = upsample2x(x)
@@ -248,6 +251,7 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     init_type: str = "kaiming"
     embed_init_table: Optional[np.ndarray] = None
+    use_pallas: bool = False
 
     def setup(self):
         c = self.cfg
@@ -258,13 +262,14 @@ class Generator(nn.Module):
             use_map=c.use_map, dtype=self.dtype, kernel_init=ki)
         self.enc_content = ContentEncoder(
             dim=c.dim, n_downsample=c.content_downsample, n_res=c.n_res,
-            activ=c.activ, pad_type=c.pad_type, dtype=self.dtype, kernel_init=ki)
+            activ=c.activ, pad_type=c.pad_type, dtype=self.dtype, kernel_init=ki,
+            use_pallas=self.use_pallas)
         content_dim = self.enc_content.output_dim
         self.dec = Decoder(
             dim=content_dim, out_dim=self.input_dim,
             n_upsample=c.content_downsample, n_res=c.n_res, activ=c.activ,
             pad_type=c.pad_type, use_attention=c.use_attention,
-            dtype=self.dtype, kernel_init=ki)
+            dtype=self.dtype, kernel_init=ki, use_pallas=self.use_pallas)
         self.enc_txt = TxtEncoder(
             vocab_size=self.vocab_size, embed_dim=c.embed_dim,
             hidden_size=c.hidden_size, c_dim=c.c_dim, num_cls=c.num_cls,

@@ -119,6 +119,7 @@ class Conv2dBlock(nn.Module):
     pad_type: str = "zero"
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False    # fused Pallas instance-norm path (TPU)
 
     @nn.compact
     def __call__(self, x, adain_scale=None, adain_bias=None):
@@ -145,7 +146,11 @@ class Conv2dBlock(nn.Module):
             x = conv(x)
 
         if self.norm == "in":
-            x = instance_norm(x)
+            from dwcgan_tpu.ops.pallas.norm_kernels import fits_vmem, instance_norm_pallas
+            if self.use_pallas and fits_vmem(x.shape):
+                x = instance_norm_pallas(x)
+            else:
+                x = instance_norm(x)
         elif self.norm == "ln":
             gamma = self.param("ln_gamma", nn.initializers.uniform(scale=1.0),
                                (self.features,), jnp.float32)
@@ -208,15 +213,16 @@ class ResBlock(nn.Module):
     pad_type: str = "zero"
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm, activ=self.activ,
                         pad_type=self.pad_type, dtype=self.dtype,
-                        kernel_init=self.kernel_init)(x)
+                        kernel_init=self.kernel_init, use_pallas=self.use_pallas)(x)
         y = Conv2dBlock(self.dim, 3, 1, 1, norm=self.norm, activ="none",
                         pad_type=self.pad_type, dtype=self.dtype,
-                        kernel_init=self.kernel_init)(y)
+                        kernel_init=self.kernel_init, use_pallas=self.use_pallas)(y)
         return x + y
 
 
@@ -230,12 +236,13 @@ class ResBlocks(nn.Module):
     pad_type: str = "zero"
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.num_blocks):
             x = ResBlock(self.dim, self.norm, self.activ, self.pad_type,
-                         self.dtype, self.kernel_init)(x)
+                         self.dtype, self.kernel_init, self.use_pallas)(x)
         return x
 
 
@@ -254,11 +261,32 @@ class AdaINResBlocks(nn.Module):
     pad_type: str = "zero"
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, style_params):
         assert style_params.shape[1:] == (self.num_blocks, 2, 2, self.dim), \
             f"bad style_params shape {style_params.shape}"
+        from dwcgan_tpu.ops.pallas.norm_kernels import (
+            adain_pallas, adain_residual_pallas, fits_vmem)
+        if self.use_pallas and fits_vmem(x.shape):
+            fuse_relu = self.activ == "relu"
+            act = activation(self.activ) if not fuse_relu else None
+            for b in range(self.num_blocks):
+                # raw convs; the AdaIN(+ReLU) tail is the fused kernel
+                y = Conv2dBlock(self.dim, 3, 1, 1, norm="none", activ="none",
+                                pad_type=self.pad_type, dtype=self.dtype,
+                                kernel_init=self.kernel_init)(x)
+                y = adain_pallas(y, style_params[:, b, 0, 1],
+                                 style_params[:, b, 0, 0], fuse_relu)
+                if act is not None:
+                    y = act(y)
+                y = Conv2dBlock(self.dim, 3, 1, 1, norm="none", activ="none",
+                                pad_type=self.pad_type, dtype=self.dtype,
+                                kernel_init=self.kernel_init)(y)
+                x = adain_residual_pallas(x, y, style_params[:, b, 1, 1],
+                                          style_params[:, b, 1, 0])
+            return x
         for b in range(self.num_blocks):
             y = Conv2dBlock(self.dim, 3, 1, 1, norm="adain", activ=self.activ,
                             pad_type=self.pad_type, dtype=self.dtype,

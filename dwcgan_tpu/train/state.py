@@ -79,9 +79,11 @@ def make_optimizer(cfg: Config, params, freeze_embedding: bool = False):
 def build_models(cfg: Config, vocab_size: int,
                  embed_table: Optional[np.ndarray] = None):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # Pallas kernels only on real TPU; CPU/virtual meshes use the jnp path
+    use_pallas = bool(cfg.use_pallas) and jax.default_backend() == "tpu"
     gen = Generator(cfg=cfg.gen, input_dim=cfg.input_dim, vocab_size=vocab_size,
                     dtype=dtype, init_type=cfg.init,
-                    embed_init_table=embed_table)
+                    embed_init_table=embed_table, use_pallas=use_pallas)
     dis = MsImageDis(cfg=cfg.dis, dtype=dtype, init_type="gaussian")
     return gen, dis
 

@@ -39,7 +39,10 @@ class StepTimer:
 
     def lap(self, sync_array=None) -> float:
         if sync_array is not None:
-            jax.block_until_ready(sync_array)
+            # device_get (host fetch), not block_until_ready: through the
+            # axon loopback relay the latter can return before device work
+            # completes, producing wildly optimistic timings
+            jax.device_get(sync_array)
         now = time.perf_counter()
         dt = 0.0 if self._last is None else now - self._last
         self._last = now
