@@ -30,15 +30,27 @@ except ImportError:  # pragma: no cover
     Image = None
 
 
-def _center_crop_resize(img: "Image.Image", crop: int, size: int) -> np.ndarray:
+def _center_crop_resize(img: "Image.Image", crop: int, size: int,
+                        backend: str = "auto") -> np.ndarray:
+    """CenterCrop(crop) -> Resize(size, bilinear) -> [-1, 1].
+
+    backend 'native' uses the fused C++ kernel (half-pixel bilinear, matching
+    F.interpolate/jax.image.resize); 'pil' uses PIL's antialiased resize (the
+    reference's torchvision path); 'auto' prefers native when built.
+    """
+    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    if backend != "pil":
+        from dwcgan_tpu import native
+        if backend == "native" or native.available():
+            return native.preprocess_batch(arr[None], crop, size)[0]
     w, h = img.size
     left, top = (w - crop) // 2, (h - crop) // 2
     img = img.crop((left, top, left + crop, top + crop))
     img = img.resize((size, size), Image.BILINEAR)
-    arr = np.asarray(img, dtype=np.float32)
-    if arr.ndim == 2:  # grayscale -> RGB
-        arr = np.stack([arr] * 3, axis=-1)
-    return arr / 127.5 - 1.0  # Normalize(0.5, 0.5) equivalent
+    out = np.asarray(img, dtype=np.float32)
+    if out.ndim == 2:  # grayscale -> RGB
+        out = np.stack([out] * 3, axis=-1)
+    return out / 127.5 - 1.0  # Normalize(0.5, 0.5) equivalent
 
 
 class CelebADataset:
@@ -55,12 +67,14 @@ class CelebADataset:
         max_text_len: int = 80,
         seed: int = 1234,
         test_split: int = 1999,
+        resize_backend: str = "auto",
     ):
         self.image_dir = image_dir
         self.mode = mode
         self.crop_size = crop_size
         self.image_size = image_size
         self.max_text_len = max_text_len
+        self.resize_backend = resize_backend
         self.vocab = Vocab("CelebA")
         self.rng = random.Random(seed)
         self.synth = TextSynthesizer(self.rng)
@@ -104,7 +118,8 @@ class CelebADataset:
         img = Image.open(os.path.join(self.image_dir, fname)).convert("RGB")
         if self.mode == "train" and self.rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        image = _center_crop_resize(img, self.crop_size, self.image_size)
+        image = _center_crop_resize(img, self.crop_size, self.image_size,
+                                    self.resize_backend)
 
         return (
             image,
