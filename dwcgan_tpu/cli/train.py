@@ -52,6 +52,8 @@ def parse_args(argv=None):
                    help="train on synthetic batches (no CelebA needed)")
     p.add_argument("--mesh_model", type=int, default=None,
                    help="override tensor-parallel axis size")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-20 here")
     return p.parse_args(argv)
 
 
@@ -188,13 +190,28 @@ def main(argv=None):
                         os.path.join(img_dir, f"{tag}.jpg"))
 
     # --- loop ---
+    from dwcgan_tpu.utils.guard import FiniteGuard
+    guard = FiniteGuard(every=cfg.log_iter)
+    profiler_active = False
     timer = StepTimer()
     timer.lap()
     for batch in pipe:
         step_i = int(state.step)
         if step_i >= cfg.max_iter:
             break
+        if args.profile_dir and step_i == 10 and not profiler_active:
+            import jax.profiler
+            jax.profiler.start_trace(args.profile_dir)
+            profiler_active = True
         state, metrics = train_step(state, shard_batch(batch, mesh))
+        if profiler_active and step_i >= 20:
+            import jax.profiler
+            jax.device_get(metrics["loss_gen_total"])
+            jax.profiler.stop_trace()
+            profiler_active = False
+            print(f"profiler trace written to {args.profile_dir}")
+        # NaN tripwire (fetches scalars only on its `every` cadence)
+        guard.check(step_i + 1, metrics, checkpoint=ckpt, state=state)
 
         if (step_i + 1) % cfg.log_iter == 0:
             dt = timer.lap(metrics["loss_gen_total"])

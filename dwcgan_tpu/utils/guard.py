@@ -1,0 +1,46 @@
+"""Failure detection (SURVEY §5.3: the reference has none — crash recovery is
+manual restart).  Here: a NaN/Inf tripwire over the per-step metrics that
+saves an emergency checkpoint and raises, so long unattended runs fail loudly
+and resumably instead of training on garbage."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+class FiniteGuard:
+    """Check metric dicts every `every` steps; trip after `patience`
+    consecutive non-finite observations (transient inf in GAN losses at low
+    batch sizes is survivable; persistent NaN is not)."""
+
+    def __init__(self, every: int = 100, patience: int = 2,
+                 keys=("loss_gen_total", "loss_dis_all")):
+        self.every = every
+        self.patience = patience
+        self.keys = keys
+        self._strikes = 0
+
+    def check(self, step: int, metrics: Dict[str, float],
+              checkpoint=None, state=None) -> bool:
+        """Returns True if healthy.  Raises NonFiniteLossError when tripped,
+        after saving an emergency checkpoint if a manager is provided."""
+        if step % self.every != 0:
+            return True
+        bad = [k for k in self.keys
+               if k in metrics and not math.isfinite(float(metrics[k]))]
+        if not bad:
+            self._strikes = 0
+            return True
+        self._strikes += 1
+        if self._strikes >= self.patience:
+            if checkpoint is not None and state is not None:
+                checkpoint.save(state, wait=True)
+            raise NonFiniteLossError(
+                f"non-finite {bad} at step {step} "
+                f"({self._strikes} consecutive checks)")
+        return False

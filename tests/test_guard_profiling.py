@@ -1,0 +1,53 @@
+"""Failure-detection and profiling utilities."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dwcgan_tpu.utils.guard import FiniteGuard, NonFiniteLossError
+
+
+class _FakeCkpt:
+    def __init__(self):
+        self.saved = False
+
+    def save(self, state, wait=False):
+        self.saved = True
+
+
+def test_guard_passes_finite():
+    g = FiniteGuard(every=10, patience=1)
+    for step in range(1, 50):
+        assert g.check(step, {"loss_gen_total": 1.0, "loss_dis_all": 2.0})
+
+
+def test_guard_trips_on_persistent_nan_and_saves():
+    g = FiniteGuard(every=10, patience=2)
+    ckpt = _FakeCkpt()
+    bad = {"loss_gen_total": float("nan"), "loss_dis_all": 1.0}
+    assert not g.check(10, bad)  # first strike
+    with pytest.raises(NonFiniteLossError):
+        g.check(20, bad, checkpoint=ckpt, state=object())
+    assert ckpt.saved
+
+
+def test_guard_recovers_after_transient():
+    g = FiniteGuard(every=1, patience=3)
+    g.check(1, {"loss_gen_total": float("inf")})
+    assert g.check(2, {"loss_gen_total": 0.5})  # strike counter resets
+    assert g._strikes == 0
+
+
+def test_guard_skips_off_cadence():
+    g = FiniteGuard(every=100, patience=1)
+    # off-cadence steps never even read the metrics
+    assert g.check(55, {"loss_gen_total": float("nan")})
+
+
+def test_profiling_annotate():
+    from dwcgan_tpu.utils.profiling import annotate
+    import jax.numpy as jnp
+    with annotate("test-region"):
+        x = jnp.ones((4,)) * 2
+    assert float(x.sum()) == 8.0
