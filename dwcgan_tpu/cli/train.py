@@ -200,12 +200,10 @@ def main(argv=None):
         if step_i >= cfg.max_iter:
             break
         if args.profile_dir and step_i == 10 and not profiler_active:
-            import jax.profiler
             jax.profiler.start_trace(args.profile_dir)
             profiler_active = True
         state, metrics = train_step(state, shard_batch(batch, mesh))
         if profiler_active and step_i >= 20:
-            import jax.profiler
             jax.device_get(metrics["loss_gen_total"])
             jax.profiler.stop_trace()
             profiler_active = False
