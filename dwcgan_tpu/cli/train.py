@@ -153,6 +153,13 @@ def main(argv=None):
     writer = MetricWriter(log_dir)
     ckpt = CheckpointManager(ckpt_dir, max_to_keep=5)
 
+    if cfg.use_pretrain and cfg.gen_pretrain:
+        # partial warm-start skipping the embedding table (solver.py:383-400);
+        # gen_pretrain points at an orbax checkpoint dir of a previous run
+        from dwcgan_tpu.train.checkpoint import warm_start
+        state = warm_start(state, cfg.gen_pretrain)
+        print("Initial model loaded...")
+
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"Resume from iteration {int(state.step)}")

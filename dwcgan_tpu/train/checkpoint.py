@@ -56,3 +56,34 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def warm_start(state: TrainState, pretrain_dir: str,
+               skip_substrings=("embedding",)) -> TrainState:
+    """Partial warm-start from another run's checkpoint.
+
+    Equivalent capability to the reference's `init_network`
+    (solver.py:383-400): copy every matching param from the pretrained
+    checkpoint, skipping the text-embedding table (and any shape mismatch),
+    keeping fresh optimizer/EMA/step state.
+    """
+    import jax
+
+    mgr = CheckpointManager(pretrain_dir)
+    src = mgr.restore(state)
+    mgr.close()
+
+    def merge(path, cur, new):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any(s in n for s in skip_substrings for n in names):
+            return cur
+        if cur.shape != new.shape or cur.dtype != new.dtype:
+            return cur
+        return new
+
+    return state.replace(
+        gen_params=jax.tree_util.tree_map_with_path(
+            merge, state.gen_params, src.gen_params),
+        dis_params=jax.tree_util.tree_map_with_path(
+            merge, state.dis_params, src.dis_params),
+    )
