@@ -120,12 +120,17 @@ def test_reverse_padded():
 
 
 def _copy_lstm_params_to_torch(params, lstm_t, num_layers):
-    """Copy flax MaskedBiLSTM weights into a torch bidirectional nn.LSTM."""
+    """Copy flax MaskedBiLSTM weights (fused or unfused layout) into a torch
+    bidirectional nn.LSTM."""
     sd = {}
     for layer in range(num_layers):
         for d, suf in ((0, ""), (1, "_reverse")):
-            name = f"l{layer}_{'fwd' if d == 0 else 'bwd'}"
-            p = params["params"][name]
+            dname = "fwd" if d == 0 else "bwd"
+            p = params["params"].get(f"l{layer}_{dname}")
+            if p is None:  # fused layout: l{layer}/{dname}_w_x etc.
+                fp = params["params"][f"l{layer}"]
+                p = {"w_x": fp[f"{dname}_w_x"], "w_h": fp[f"{dname}_w_h"],
+                     "b": fp[f"{dname}_b"]}
             sd[f"weight_ih_l{layer}{suf}"] = torch.from_numpy(np.asarray(p["w_x"]).T.copy())
             sd[f"weight_hh_l{layer}{suf}"] = torch.from_numpy(np.asarray(p["w_h"]).T.copy())
             sd[f"bias_ih_l{layer}{suf}"] = torch.from_numpy(np.asarray(p["b"]).copy())
@@ -133,15 +138,17 @@ def _copy_lstm_params_to_torch(params, lstm_t, num_layers):
     lstm_t.load_state_dict(sd)
 
 
-def test_masked_bilstm_matches_torch_packed():
+@pytest.mark.parametrize("fuse", [True, False])
+def test_masked_bilstm_matches_torch_packed(fuse):
     """Masked-scan bi-LSTM == torch packed-sequence bi-LSTM with the same
-    weights (replaces networks_v2.py:213-249 sort/pack machinery)."""
+    weights (replaces networks_v2.py:213-249 sort/pack machinery), in both
+    the direction-fused and unfused layouts."""
     B, T, D, H, L = 4, 9, 6, 5, 2
     rng = np.random.default_rng(6)
     x = rng.normal(size=(B, T, D)).astype(np.float32)
     lens = np.array([9, 4, 1, 7], dtype=np.int32)
 
-    model = MaskedBiLSTM(hidden=H, num_layers=L, dropout=0.0)
+    model = MaskedBiLSTM(hidden=H, num_layers=L, dropout=0.0, fuse_directions=fuse)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lens))
     outs, h_fin, c_fin = model.apply(params, jnp.asarray(x), jnp.asarray(lens))
 
