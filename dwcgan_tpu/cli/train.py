@@ -108,6 +108,8 @@ def main(argv=None):
             print(f"loaded pretrained embeddings for vocab of {vocab.size}")
 
     # --- mesh + state ---
+    from dwcgan_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
     mesh = create_mesh(cfg.mesh_data, cfg.mesh_model)
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
     rng = jax.random.PRNGKey(cfg.seed)

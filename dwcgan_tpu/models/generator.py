@@ -155,37 +155,51 @@ class TxtEncoder(nn.Module):
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     embed_init_table: Optional[np.ndarray] = None  # pretrained table (frozen via optimizer mask)
 
-    @nn.compact
-    def __call__(self, style_flat, tokens, lengths, deterministic: bool = True):
-        """style_flat: [N, num_cls*c_dim]; tokens: [N, T] int32; lengths: [N]."""
+    def setup(self):
         if self.embed_init_table is not None:
             table = self.embed_init_table
             embed_init = lambda *_: jnp.asarray(table, jnp.float32)
         else:
             embed_init = nn.initializers.normal(stddev=1.0)  # torch nn.Embedding default
-        embedding = self.param("embedding", embed_init,
-                               (self.vocab_size, self.embed_dim), jnp.float32)
-        x = jnp.take(embedding, tokens, axis=0).astype(self.dtype)  # [N, T, E]
-        x = nn.Dropout(self.dropout_in)(x, deterministic=deterministic)
+        self.embedding = self.param("embedding", embed_init,
+                                    (self.vocab_size, self.embed_dim), jnp.float32)
+        self.drop_in = nn.Dropout(self.dropout_in)
+        self.lstm = MaskedBiLSTM(self.hidden_size, self.num_layers,
+                                 self.dropout_out, self.dtype)
+        out = self.num_cls * self.c_dim
+        self.head_mu = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
+                                kernel_init=self.kernel_init, name="head_mu")
+        self.head_logvar = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
+                                    kernel_init=self.kernel_init,
+                                    name="head_logvar")
+
+    def _run(self, style_flat, x, lengths, deterministic):
+        """Shared tail: dropout -> style concat -> bi-LSTM -> Gaussian heads."""
+        x = self.drop_in(x, deterministic=deterministic)
         style_b = jnp.broadcast_to(style_flat[:, None, :].astype(self.dtype),
                                    (x.shape[0], x.shape[1], style_flat.shape[-1]))
         x = jnp.concatenate([x, style_b], axis=-1)
-
-        _, h_fin, c_fin = MaskedBiLSTM(self.hidden_size, self.num_layers,
-                                       self.dropout_out, self.dtype)(
-            x, lengths, deterministic=deterministic)
+        _, h_fin, c_fin = self.lstm(x, lengths, deterministic=deterministic)
         # [L, 2, N, H] -> [N, L*2*H]; concat h then c -> [N, L*4*H]
         def flat(s):
             return jnp.transpose(s, (2, 0, 1, 3)).reshape(s.shape[2], -1)
         feats = jnp.concatenate([flat(h_fin), flat(c_fin)], axis=-1)
-
-        out = self.num_cls * self.c_dim
-        mu = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
-                      kernel_init=self.kernel_init, name="head_mu")(feats)
-        logvar = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32,
-                          kernel_init=self.kernel_init, name="head_logvar")(feats)
         shape = (feats.shape[0], self.num_cls, self.c_dim)
-        return mu.reshape(shape), logvar.reshape(shape)
+        return (self.head_mu(feats).reshape(shape),
+                self.head_logvar(feats).reshape(shape))
+
+    def __call__(self, style_flat, tokens, lengths, deterministic: bool = True):
+        """style_flat: [N, num_cls*c_dim]; tokens: [N, T] int32; lengths: [N]."""
+        x = jnp.take(self.embedding, tokens, axis=0).astype(self.dtype)  # [N, T, E]
+        return self._run(style_flat, x, lengths, deterministic)
+
+    def from_embeddings(self, style_flat, embeddings, lengths,
+                        deterministic: bool = True):
+        """Raw word-embedding input variant (reference `forward_embed`,
+        networks_v2.py:257-293): bypasses the token lookup so callers can
+        feed precomputed/externally-produced embeddings."""
+        return self._run(style_flat, embeddings.astype(self.dtype), lengths,
+                         deterministic)
 
 
 class Decoder(nn.Module):

@@ -40,6 +40,23 @@ _TP_RULES = (
 )
 
 
+def maybe_initialize_distributed():
+    """Initialize jax.distributed for multi-host (pod) runs when the standard
+    coordinator env vars are present; no-op on single host.
+
+    The reference has no multi-process story at all (SURVEY §2 C24); on TPU
+    pods each host runs this same program and `jax.devices()` spans the pod.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
 def create_mesh(data: int = -1, model: int = 1,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a ('data', 'model') mesh; data=-1 uses all remaining devices."""

@@ -130,6 +130,7 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             return loss, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.dis_params)
+        metrics["grad_dis_norm"] = optax.global_norm(grads)
         updates, dis_opt_state = dis_tx.update(grads, state.dis_opt_state,
                                                state.dis_params)
         dis_params = optax.apply_updates(state.dis_params, updates)
@@ -240,6 +241,7 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             return total, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+        metrics["grad_gen_norm"] = optax.global_norm(grads)
         updates, gen_opt_state = gen_tx.update(grads, gen_opt_state, gen_params)
         gen_params = optax.apply_updates(gen_params, updates)
         return gen_params, gen_opt_state, metrics
@@ -292,5 +294,5 @@ _GEN_METRIC_KEYS = (
     "loss_gen_recon_c_real", "loss_gen_recon_c_fake", "loss_gen_recon_c_rand",
     "loss_gen_recon_s_real", "loss_gen_recon_s_fake", "loss_gen_recon_s_rand",
     "loss_gen_cycrecon_x", "loss_kl_x", "loss_kl_trg", "loss_gen_vgg",
-    "loss_ds", "ds_w",
+    "loss_ds", "ds_w", "grad_gen_norm",
 )
