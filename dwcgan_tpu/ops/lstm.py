@@ -134,8 +134,9 @@ class _LSTMBiFused(nn.Module):
         def step(carry, inp):
             h, c = carry
             gates_in, v = inp
-            h2 = h.reshape(2, B, H)
-            rec = jnp.einsum("dbh,dhg->dbg", h2, w_h2).reshape(2 * B, 4 * H)
+            # two plain [B,H]x[H,4H] matmuls (a batched dot_general inside
+            # the scan blows up TPU compile time)
+            rec = jnp.concatenate([h[:B] @ w_h2[0], h[B:] @ w_h2[1]], axis=0)
             gates = gates_in + rec
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
