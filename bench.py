@@ -38,6 +38,7 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
 
     cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
                                    "configs", "celeba_faces.yaml"))
@@ -46,6 +47,11 @@ def main():
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)
+
+    if mode == "infer":
+        _bench_infer(cfg, mesh, batch_size, steps, n_dev)
+        return
+
     state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
     state = place_state(state, mesh, use_tp=False)
     gen, dis = build_models(cfg, 102)
@@ -85,6 +91,38 @@ def main():
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2),
+    }))
+
+
+def _bench_infer(cfg, mesh, batch_size, steps, n_dev):
+    """Serving throughput: text-guided translation forward (EMA-style path)."""
+    import jax
+
+    from dwcgan_tpu.data.pipeline import Batch, synthetic_batch
+    from dwcgan_tpu.parallel.mesh import shard_spec
+    from dwcgan_tpu.train.sampler import make_infer_fn
+    from dwcgan_tpu.train.state import build_models, create_train_state
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
+    gen, _ = build_models(cfg, 102)
+    infer = jax.jit(make_infer_fn(cfg, gen))
+    b = synthetic_batch(batch_size, cfg.image_size, seed=0)
+    batch = Batch(*(jax.device_put(np.asarray(x), shard_spec(mesh, x.ndim))
+                    for x in b))
+    out = infer(state.gen_params, batch.image, batch.txt, batch.txt_len)
+    _ = np.asarray(out[0, 0, 0, 0])
+    times = []
+    for _i in range(steps):
+        t0 = time.perf_counter()
+        out = infer(state.gen_params, batch.image, batch.txt, batch.txt_len)
+        _ = np.asarray(out[0, 0, 0, 0])  # host fetch: honest sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(json.dumps({
+        "metric": "infer_images_per_sec_per_chip_128px",
+        "value": round(batch_size / dt / n_dev, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(batch_size / dt / n_dev / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2),
     }))
 
 
