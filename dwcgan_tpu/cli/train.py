@@ -17,7 +17,6 @@ import argparse
 import os
 import pickle
 import shutil
-import sys
 
 import jax
 import numpy as np
@@ -26,7 +25,7 @@ from dwcgan_tpu.config import load_config
 from dwcgan_tpu.data.celeba import CelebADataset
 from dwcgan_tpu.data.pipeline import Batch, DataPipeline, shard_batch, synthetic_batch
 from dwcgan_tpu.models.generator import build_embedding_matrix
-from dwcgan_tpu.parallel.mesh import create_mesh, place_state, shard_spec
+from dwcgan_tpu.parallel.mesh import create_mesh, place_state
 from dwcgan_tpu.text.vocab import Vocab
 from dwcgan_tpu.train.checkpoint import CheckpointManager
 from dwcgan_tpu.train.sampler import make_sample_fn
@@ -204,8 +203,11 @@ def main(argv=None):
     profiler_active = False
     timer = StepTimer()
     timer.lap()
+    # host-side step counter: reading int(state.step) every iteration would
+    # force a device sync per step and serialize host data prep with device
+    # compute (state.step is only consulted on resume)
+    step_i = int(state.step)
     for batch in pipe:
-        step_i = int(state.step)
         if step_i >= cfg.max_iter:
             break
         if args.profile_dir and step_i == 10 and not profiler_active:
@@ -239,6 +241,7 @@ def main(argv=None):
                                cfg.image_save_iter)
         if (step_i + 1) % cfg.snapshot_save_iter == 0:
             ckpt.save(state)
+        step_i += 1
 
     ckpt.save(state, wait=True)
     writer.close()

@@ -12,7 +12,7 @@ feature extraction + statistics are one in-repo pipeline, batched on device.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Callable, Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,8 @@ to published numbers with the real weights.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 

@@ -12,7 +12,7 @@ expression of the reference's `torch.autograd.grad` gymnastics.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,8 @@ Layout is NHWC; params fp32; compute dtype configurable (bfloat16 on TPU).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

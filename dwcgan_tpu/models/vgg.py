@@ -15,7 +15,7 @@ solver.py:79-83).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

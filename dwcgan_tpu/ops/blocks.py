@@ -13,7 +13,7 @@ ResBlock(s), MLP, plus spectral-norm wrappers.  Differences by design:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -155,7 +155,11 @@ class Conv2dBlock(nn.Module):
             gamma = self.param("ln_gamma", nn.initializers.uniform(scale=1.0),
                                (self.features,), jnp.float32)
             beta = self.param("ln_beta", nn.initializers.zeros, (self.features,), jnp.float32)
-            x = layer_norm_ref(x, gamma, beta)
+            from dwcgan_tpu.ops.pallas.norm_kernels import fits_vmem, layer_norm_ref_pallas
+            if self.use_pallas and fits_vmem(x.shape):
+                x = layer_norm_ref_pallas(x, gamma, beta)
+            else:
+                x = layer_norm_ref(x, gamma, beta)
         elif self.norm == "bn":
             gamma = self.param("bn_gamma", nn.initializers.ones, (self.features,), jnp.float32)
             beta = self.param("bn_beta", nn.initializers.zeros, (self.features,), jnp.float32)

@@ -22,8 +22,6 @@ Correctness is pinned against the jnp reference implementations in
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -234,3 +232,103 @@ def adain_residual_pallas(x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray,
     """Resblock tail: x + AdaIN(y) — the add stays an XLA fusion; the AdaIN
     is the Pallas kernel (second conv of each AdaIN resblock, no activation)."""
     return x + adain_pallas(y, scale, bias, False)
+
+
+# --------------------------------------------------------------------------
+# reference LayerNorm (per-sample stats over HWC, unbiased std, /(std+eps))
+# --------------------------------------------------------------------------
+
+def _ln_fwd_kernel(x_ref, gamma_ref, beta_ref, o_ref, mean_ref, denom_ref):
+    x = x_ref[0].astype(jnp.float32)             # [HW, C]
+    n = x.shape[0] * x.shape[1]
+    mean = jnp.sum(x) / n
+    u = x - mean
+    var = jnp.sum(u * u) / max(n - 1, 1)         # unbiased (torch .std())
+    denom = jnp.sqrt(var) + _EPS                 # std + eps, NOT sqrt(var+eps)
+    y = u / denom * gamma_ref[0] + beta_ref[0]
+    o_ref[0] = y.astype(o_ref.dtype)
+    mean_ref[0, 0] = mean
+    denom_ref[0, 0] = denom
+
+
+def _ln_bwd_kernel(x_ref, gamma_ref, mean_ref, denom_ref, g_ref,
+                   dx_ref, dgamma_ref, dbeta_ref):
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    n = x.shape[0] * x.shape[1]
+    mean = mean_ref[0, 0]
+    d = denom_ref[0, 0]
+    s = d - _EPS                                  # std
+    u = x - mean
+    dbeta_ref[0] = jnp.sum(g, axis=0, keepdims=True)
+    dgamma_ref[0] = jnp.sum(g * u, axis=0, keepdims=True) / d
+    gh = g * gamma_ref[0]
+    dot = jnp.sum(gh * u)
+    du = gh / d - u * (dot / (max(n - 1, 1) * s * d * d))
+    dx_ref[0] = (du - jnp.sum(du) / n).astype(dx_ref.dtype)
+
+
+@jax.custom_vjp
+def layer_norm_ref_pallas(x: jnp.ndarray, gamma: jnp.ndarray,
+                          beta: jnp.ndarray) -> jnp.ndarray:
+    """Fused reference LayerNorm (matches ops.norms.layer_norm_ref)."""
+    y, _, _ = _ln_fwd(x, gamma, beta)
+    return y
+
+
+def _ln_fwd(x, gamma, beta):
+    n, h, w, c = x.shape
+    hw = h * w
+    block = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    chan = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    y, mean, denom = pl.pallas_call(
+        _ln_fwd_kernel,
+        grid=(n,),
+        in_specs=[block, chan, chan],
+        out_specs=(block, scal, scal),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(x.reshape(n, hw, c),
+      gamma.astype(jnp.float32).reshape(1, c),
+      beta.astype(jnp.float32).reshape(1, c))
+    return y.reshape(x.shape), mean, denom
+
+
+def _ln_fwd_rule(x, gamma, beta):
+    y, mean, denom = _ln_fwd(x, gamma, beta)
+    return y, (x, gamma, mean, denom)
+
+
+def _ln_bwd_rule(res, g):
+    x, gamma, mean, denom = res
+    n, h, w, c = x.shape
+    hw = h * w
+    block = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    chan = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pchan = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dx, dgamma, dbeta = pl.pallas_call(
+        _ln_bwd_kernel,
+        grid=(n,),
+        in_specs=[block, chan, scal, scal, block],
+        out_specs=(block, pchan, pchan),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ),
+        interpret=_use_interpret(),
+    )(x.reshape(n, hw, c),
+      gamma.astype(jnp.float32).reshape(1, c),
+      mean, denom, g.reshape(n, hw, c))
+    return (dx.reshape(x.shape),
+            dgamma.sum(axis=(0, 1)).astype(gamma.dtype),
+            dbeta.sum(axis=(0, 1)))
+
+
+layer_norm_ref_pallas.defvjp(_ln_fwd_rule, _ln_bwd_rule)

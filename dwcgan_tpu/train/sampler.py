@@ -12,9 +12,8 @@ Both default to the EMA ("smoothed") generator parameters at the call site.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
-import jax
 import jax.numpy as jnp
 
 from dwcgan_tpu.config import Config

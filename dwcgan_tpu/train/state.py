@@ -10,14 +10,13 @@ optimizer and EMA state, solver.py:370-372).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from dwcgan_tpu.config import Config
 from dwcgan_tpu.models.discriminator import MsImageDis

@@ -6,7 +6,7 @@ and resumably instead of training on garbage."""
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 
 class NonFiniteLossError(RuntimeError):

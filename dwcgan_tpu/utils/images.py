@@ -8,7 +8,7 @@ torchvision's make_grid(normalize=True).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -75,6 +75,35 @@ def test_adain_residual():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_layer_norm_forward():
+    from dwcgan_tpu.ops.norms import layer_norm_ref
+    from dwcgan_tpu.ops.pallas.norm_kernels import layer_norm_ref_pallas
+    x = jnp.asarray(_rand((N, H, W, C), 20))
+    gamma = jnp.asarray(np.random.default_rng(21).uniform(size=(C,)).astype(np.float32))
+    beta = jnp.asarray(_rand((C,), 22))
+    np.testing.assert_allclose(np.asarray(layer_norm_ref_pallas(x, gamma, beta)),
+                               np.asarray(layer_norm_ref(x, gamma, beta)), atol=1e-5)
+
+
+def test_layer_norm_grads():
+    from dwcgan_tpu.ops.norms import layer_norm_ref
+    from dwcgan_tpu.ops.pallas.norm_kernels import layer_norm_ref_pallas
+    x = jnp.asarray(_rand((N, H, W, C), 23))
+    gamma = jnp.asarray(np.random.default_rng(24).uniform(size=(C,)).astype(np.float32) + 0.5)
+    beta = jnp.asarray(_rand((C,), 25))
+
+    def loss_p(x, g, b):
+        return jnp.sum(jnp.tanh(layer_norm_ref_pallas(x, g, b)))
+
+    def loss_r(x, g, b):
+        return jnp.sum(jnp.tanh(layer_norm_ref(x, g, b)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b2 in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-4)
+
+
 def test_adain_bf16_io():
     """Kernels accept bfloat16 activations with fp32 stats."""
     x = jnp.asarray(_rand((N, H, W, C), 12)).astype(jnp.bfloat16)
