@@ -82,28 +82,29 @@ def pad2d(x: jnp.ndarray, padding: int, pad_type: str) -> jnp.ndarray:
     return jnp.pad(x, widths, mode=mode)
 
 
-def _spectral_normalize(module: nn.Module, w: jnp.ndarray, n_iter: int = 1) -> jnp.ndarray:
-    """One-step power-iteration spectral normalization (networks.py:758-816).
+def _spectral_normalize(w: jnp.ndarray, n_iter: int = 5) -> jnp.ndarray:
+    """Stateless power-iteration spectral normalization.
 
-    u is persisted in the 'spectral' variable collection and updated each
-    forward pass in mutable contexts.
+    The reference persists u across forwards and runs ONE iteration per call
+    (networks.py:758-816) — mutable module state.  The TPU-first form is
+    functional: restart from a fixed vector and run `n_iter` iterations each
+    call, so the op is jit-pure and threads through the fused train step
+    with no mutable collections.  For conv-kernel spectra a handful of
+    iterations estimates sigma to within a few percent (documented
+    divergence: sigma is re-estimated, not amortized).
     """
     out_dim = w.shape[-1]
     w_mat = w.reshape(-1, out_dim).astype(jnp.float32)  # [fan_in, out]
-    # u's starting point is immaterial (power iteration converges); use a
-    # fixed key so init never needs an extra rng stream
-    u_var = module.variable(
-        "spectral", "u",
-        lambda: jax.random.normal(jax.random.PRNGKey(0), (out_dim,), jnp.float32))
-    u = u_var.value
+    u = jax.random.normal(jax.random.PRNGKey(0), (out_dim,), jnp.float32)
+    u = u / (jnp.linalg.norm(u) + 1e-12)
     for _ in range(n_iter):
         v = w_mat @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
         u = w_mat.T @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
     sigma = v @ (w_mat @ u)
-    if not module.is_initializing():
-        u_var.value = jax.lax.stop_gradient(u)
     return (w / sigma).astype(w.dtype)
 
 
@@ -136,7 +137,7 @@ class Conv2dBlock(nn.Module):
                            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
                            jnp.float32)
             b = self.param("sn_bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            w = _spectral_normalize(self, w)
+            w = _spectral_normalize(w)
             x = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w.astype(self.dtype),
                 window_strides=(self.stride, self.stride), padding="VALID",
@@ -189,7 +190,7 @@ class LinearBlock(nn.Module):
             w = self.param("sn_kernel", self.kernel_init,
                            (x.shape[-1], self.features), jnp.float32)
             b = self.param("sn_bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            w = _spectral_normalize(self, w)
+            w = _spectral_normalize(w)
             x = x.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
         else:
             x = nn.Dense(self.features, use_bias=True, dtype=self.dtype,

@@ -96,9 +96,6 @@ def create_train_state(cfg: Config, rng: jax.Array, vocab_size: int,
     gen_vars = gen.init({"params": k_gen, "dropout": k_gen}, dummy,
                         deterministic=True)
     dis_vars = dis.init({"params": k_dis}, dummy)
-    assert "spectral" not in dis_vars and "spectral" not in gen_vars, (
-        "spectral norm's mutable power-iteration state is not threaded "
-        "through the fused train step yet; use norm != 'sn'")
     gen_params = gen_vars["params"]
     dis_params = dis_vars["params"]
 

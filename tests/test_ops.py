@@ -200,10 +200,17 @@ def test_initializers():
     assert abs(np.std(np.asarray(w)) - np.sqrt(2 / 144)) < 0.01
 
 
-def test_linear_block_sn_runs():
+def test_linear_block_sn_stateless():
+    """Stateless spectral norm: jit-pure, differentiable, and actually
+    normalizes the top singular value to ~1."""
     m = LinearBlock(8, norm="sn", activ="none")
-    x = jnp.ones((2, 4))
+    x = jnp.eye(4, dtype=jnp.float32)
     variables = m.init(jax.random.PRNGKey(0), x)
-    y, updated = m.apply(variables, x, mutable=["spectral"])
-    assert y.shape == (2, 8)
-    assert "spectral" in updated
+    y = m.apply(variables, x)
+    assert y.shape == (4, 8)
+    # effective weight = rows of (y - bias); check top singular value
+    b = np.asarray(variables["params"]["sn_bias"])
+    w_eff = np.asarray(y) - b
+    assert abs(np.linalg.svd(w_eff, compute_uv=False)[0] - 1.0) < 0.15
+    g = jax.grad(lambda v: m.apply(v, x).sum())(variables)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()

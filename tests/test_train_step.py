@@ -126,6 +126,18 @@ def test_penalties_compile_and_fire():
     assert float(m1["loss_r1"]) > 0.0
 
 
+def test_spectral_norm_discriminator_trains():
+    """dis norm='sn' (stateless power iteration) works inside the fused step."""
+    cfg = tiny_cfg(dis={"norm": "sn", "dim": 8, "n_layer": 3,
+                        "num_scales": 2, "image_size": 32})
+    mesh = create_mesh()
+    state, step_fn = make_everything(cfg)
+    state = place_state(state, mesh)
+    state, m = step_fn(state, device_batch(cfg, mesh, seed=0))
+    assert np.isfinite(float(m["loss_dis_all"]))
+    assert np.isfinite(float(m["loss_gen_total"]))
+
+
 def test_frozen_embedding_stays_fixed():
     table = np.random.default_rng(0).normal(size=(102, 12)).astype(np.float32)
     cfg = tiny_cfg()
