@@ -301,11 +301,11 @@ def _ln_fwd(x, gamma, beta):
 
 def _ln_fwd_rule(x, gamma, beta):
     y, mean, denom = _ln_fwd(x, gamma, beta)
-    return y, (x, gamma, mean, denom)
+    return y, (x, gamma, beta, mean, denom)
 
 
 def _ln_bwd_rule(res, g):
-    x, gamma, mean, denom = res
+    x, gamma, beta, mean, denom = res
     n, h, w, c = x.shape
     hw = h * w
     block = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -328,7 +328,7 @@ def _ln_bwd_rule(res, g):
       mean, denom, g.reshape(n, hw, c))
     return (dx.reshape(x.shape),
             dgamma.sum(axis=(0, 1)).astype(gamma.dtype),
-            dbeta.sum(axis=(0, 1)))
+            dbeta.sum(axis=(0, 1)).astype(beta.dtype))
 
 
 layer_norm_ref_pallas.defvjp(_ln_fwd_rule, _ln_bwd_rule)
