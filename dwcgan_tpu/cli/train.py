@@ -207,13 +207,23 @@ def main(argv=None):
     # force a device sync per step and serialize host data prep with device
     # compute (state.step is only consulted on resume)
     step_i = int(state.step)
+    # bounded dispatch run-ahead: without a throttle the host enqueues steps
+    # far faster than the device executes, pinning every queued batch
+    # (observed: >40GB host RSS and a stalled run).  Keep <= MAX_INFLIGHT
+    # steps outstanding by draining the oldest step's loss scalar.
+    import collections
+    MAX_INFLIGHT = 8
+    inflight = collections.deque()
     for batch in pipe:
         if step_i >= cfg.max_iter:
             break
+        if len(inflight) >= MAX_INFLIGHT:
+            jax.device_get(inflight.popleft())
         if args.profile_dir and step_i == 10 and not profiler_active:
             jax.profiler.start_trace(args.profile_dir)
             profiler_active = True
         state, metrics = train_step(state, shard_batch(batch, mesh))
+        inflight.append(metrics["loss_gen_total"])
         if profiler_active and step_i >= 20:
             jax.device_get(metrics["loss_gen_total"])
             jax.profiler.stop_trace()
