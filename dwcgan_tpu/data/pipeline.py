@@ -112,22 +112,32 @@ class DataPipeline:
 
         def worker():
             while not stop.is_set():
-                with lock:
-                    idxs = next(stream)
-                batch = self._collate(idxs)
+                try:
+                    with lock:
+                        idxs = next(stream)
+                    item = self._collate(idxs)
+                except BaseException as e:  # surface in the consumer, don't die silently
+                    item = e
                 while not stop.is_set():
                     try:
-                        q.put(batch, timeout=0.5)
+                        q.put(item, timeout=0.5)
                         break
                     except queue.Full:
                         continue
+                if isinstance(item, BaseException):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    # a worker failed (missing image, decode error, ...);
+                    # re-raise in the training loop instead of hanging
+                    raise RuntimeError("data pipeline worker failed") from item
+                yield item
         finally:
             stop.set()
 

@@ -31,26 +31,39 @@ MODEL_AXIS = "model"
 # name-pattern -> which param dim to shard over the model axis.
 # Conv kernels are HWIO (shard O = dim 3 or I = dim 2); Dense kernels are
 # [in, out].  Rules chosen so each matched layer's matmul contracts locally
-# and XLA reduces over the model axis once.
+# and XLA reduces over the model axis once.  The MLP is built with n_blk=3:
+# LinearBlock_0 (64->256), LinearBlock_1 (256->256), LinearBlock_2 (256->4096
+# AdaIN head — the widest matmul in the model).
 _TP_RULES = (
-    # style MLP: first layer shards its 256-wide output, the giant
-    # 256x4096 AdaIN-parameter head shards its input (contracting) dim
-    (re.compile(r"mlp/LinearBlock_0/Dense_0/kernel$"), 1),
-    (re.compile(r"mlp/LinearBlock_1/Dense_0/kernel$"), 0),
+    # style MLP: middle layer shards its 256-wide output; the 256x4096 AdaIN
+    # head then shards its input (contracting) dim — one psum at the head
+    (re.compile(r"mlp/LinearBlock_1/Dense_0/kernel$"), 1),
+    (re.compile(r"mlp/LinearBlock_2/Dense_0/kernel$"), 0),
+    # discriminator towers: the 512-channel deep convs shard their output
+    # channels (dims cap at 512 from layer 3 on, networks.py:92-95)
+    (re.compile(r"scale_\d+/Conv2dBlock_[34]/Conv_0/kernel$"), 3),
 )
 
 
 def maybe_initialize_distributed():
-    """Initialize jax.distributed for multi-host (pod) runs when the standard
-    coordinator env vars are present; no-op on single host.
+    """Initialize jax.distributed for multi-host (pod) runs.
 
     The reference has no multi-process story at all (SURVEY §2 C24); on TPU
     pods each host runs this same program and `jax.devices()` spans the pod.
+
+    Triggers on (a) explicit coordinator env vars, or (b) TPU pod metadata
+    (TPU_WORKER_HOSTNAMES listing more than one host — Cloud TPU sets this;
+    `jax.distributed.initialize()` then auto-detects coordinates).  Plain
+    single-host runs never attempt initialization, so environments without a
+    coordinator cannot hang here.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_host = len([h for h in hostnames.split(",") if h.strip()]) > 1
+    if explicit or multi_host:
         try:
             jax.distributed.initialize()
         except RuntimeError:

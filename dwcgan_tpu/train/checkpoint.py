@@ -63,27 +63,49 @@ def warm_start(state: TrainState, pretrain_dir: str,
     """Partial warm-start from another run's checkpoint.
 
     Equivalent capability to the reference's `init_network`
-    (solver.py:383-400): copy every matching param from the pretrained
-    checkpoint, skipping the text-embedding table (and any shape mismatch),
-    keeping fresh optimizer/EMA/step state.
+    (solver.py:383-400): copy every param whose path exists with a matching
+    shape in the pretrained checkpoint, skipping the text-embedding table;
+    optimizer/EMA/step state stays fresh.
+
+    The donor is restored WITHOUT a template (raw pytree), so checkpoints
+    from runs with a different optimizer chain, vocab size, or TrainState
+    layout still warm-start the compatible subset — tolerance the
+    template-based `restore` cannot give.
     """
-    import jax
-
-    mgr = CheckpointManager(pretrain_dir)
-    src = mgr.restore(state)
+    mgr = ocp.CheckpointManager(os.path.abspath(pretrain_dir))
+    step = mgr.latest_step()
+    assert step is not None, f"no checkpoint under {pretrain_dir}"
+    raw = mgr.restore(step)  # raw nested dicts/arrays, no structure enforced
     mgr.close()
+    if hasattr(raw, "get") and "default" in raw:
+        raw = raw["default"]
 
-    def merge(path, cur, new):
-        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        if any(s in n for s in skip_substrings for n in names):
-            return cur
-        if cur.shape != new.shape or cur.dtype != new.dtype:
-            return cur
-        return new
+    def lookup(tree, path):
+        node = tree
+        for p in path:
+            key = getattr(p, "key", getattr(p, "name", None))
+            key = str(key) if key is not None else str(getattr(p, "idx", p))
+            if not hasattr(node, "get") or key not in node:
+                return None
+            node = node[key]
+        return node
+
+    import numpy as np
+
+    def merge_tree(cur_tree, src_tree):
+        def merge(path, cur):
+            names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+            if any(s in n for s in skip_substrings for n in names):
+                return cur
+            new = lookup(src_tree, path)
+            if new is None or not hasattr(new, "shape") \
+                    or tuple(new.shape) != tuple(cur.shape):
+                return cur
+            return np.asarray(new).astype(cur.dtype)
+
+        return jax.tree_util.tree_map_with_path(merge, cur_tree)
 
     return state.replace(
-        gen_params=jax.tree_util.tree_map_with_path(
-            merge, state.gen_params, src.gen_params),
-        dis_params=jax.tree_util.tree_map_with_path(
-            merge, state.dis_params, src.dis_params),
+        gen_params=merge_tree(state.gen_params, raw.get("gen_params") or {}),
+        dis_params=merge_tree(state.dis_params, raw.get("dis_params") or {}),
     )

@@ -17,7 +17,7 @@ from typing import List
 import jax.numpy as jnp
 
 from dwcgan_tpu.config import Config
-from dwcgan_tpu.train.sampling import sample_style, style_replace
+from dwcgan_tpu.train.sampling import blend_attention, sample_style, style_replace
 
 
 def make_infer_fn(cfg: Config, gen):
@@ -30,10 +30,7 @@ def make_infer_fn(cfg: Config, gen):
                               method="encode_txt")
         img, att = gen.apply({"params": params}, content,
                              mu_txt.reshape(mu.shape[0], -1), method="decode")
-        if att is not None:
-            att = att.astype(jnp.float32)
-            img = img.astype(jnp.float32) * att + x_real * (1.0 - att)
-        return img
+        return blend_attention(img, att, x_real)
 
     return infer
 
@@ -44,12 +41,7 @@ def make_sample_fn(cfg: Config, gen):
     C = cfg.c_dim
     use_att = cfg.gen.use_attention
 
-    def blend(img, att, x_real, att_on):
-        if att is None:
-            return img.astype(jnp.float32)
-        att = att.astype(jnp.float32)
-        out = img.astype(jnp.float32) * att + x_real * (1.0 - att)
-        return jnp.where(att_on, out, img.astype(jnp.float32))
+    blend = blend_attention
 
     def sample(params, key, x_real, txt, txt_len, att_on) -> List[jnp.ndarray]:
         n = x_real.shape[0]

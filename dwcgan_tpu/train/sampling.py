@@ -26,6 +26,22 @@ def sample_style(key: jax.Array, comp_means: jnp.ndarray, c_dim: int,
     return z.reshape(n, k * c_dim).astype(dtype)
 
 
+def blend_attention(img, att, x_real, att_on=True):
+    """Attention-masked edit: img*att + x_real*(1-att) when attention is
+    active (solver.py:158-170); the raw decode otherwise.  `att_on` may be a
+    traced boolean (the step-10000 warm-up gate) or a Python bool.
+
+    Single definition shared by the train step, the samplers, and inference.
+    """
+    if att is None:
+        return img.astype(jnp.float32)
+    att = att.astype(jnp.float32)
+    blended = img.astype(jnp.float32) * att + x_real.astype(jnp.float32) * (1.0 - att)
+    if att_on is True:
+        return blended
+    return jnp.where(att_on, blended, img.astype(jnp.float32))
+
+
 def style_replace(c_src: jnp.ndarray, c_trg: jnp.ndarray, z_src: jnp.ndarray,
                   z_trg: jnp.ndarray, c_dim: int) -> jnp.ndarray:
     """Keep the source style for attributes the command leaves unchanged.

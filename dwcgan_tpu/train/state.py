@@ -56,18 +56,24 @@ def _embedding_mask(params, frozen: bool):
 
 
 def make_optimizer(cfg: Config, params, freeze_embedding: bool = False):
-    """Adam with torch-style *coupled* weight decay and a per-step lr schedule.
+    """Adam with torch-style *coupled* weight decay; lr applied by the caller.
 
     torch.optim.Adam(weight_decay=wd) adds wd*param to the gradient before the
     moment updates (solver.py:65-68) — hence add_decayed_weights placed before
     scale_by_adam, not AdamW-style after.
+
+    The learning rate is deliberately NOT part of this chain: the reference
+    steps both schedulers once per *iteration* (train.py:110), but an optax
+    scale_by_schedule counts only the transform's own updates — with
+    n_critic > 1 the generator's schedule would lag.  The train step instead
+    multiplies the updates by lr(global_step) (see step.py), keeping both
+    nets on the reference's iteration-indexed schedule.
     """
     mask = _embedding_mask(params, freeze_embedding)
-    sched = lr_schedule(cfg)
     tx = optax.chain(
         optax.masked(optax.add_decayed_weights(cfg.weight_decay), mask),
         optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
-        optax.scale_by_schedule(lambda step: -sched(step)),
+        optax.scale(-1.0),
     )
     if freeze_embedding:
         frozen_mask = jax.tree_util.tree_map(lambda m: not m, mask)

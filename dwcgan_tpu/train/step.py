@@ -37,19 +37,11 @@ from dwcgan_tpu.losses.gan import (
     dis_loss, diversity_loss, gen_adv_loss, gradient_penalty, r1_penalty, recon_l1,
 )
 from dwcgan_tpu.losses.gmm import gmm_emd, gmm_kl
-from dwcgan_tpu.train.sampling import sample_style
+from dwcgan_tpu.train.sampling import blend_attention as _blend, sample_style
 from dwcgan_tpu.train.schedules import lr_schedule
 from dwcgan_tpu.train.state import TrainState, ema_update
 
 
-def _blend(img, att, x_real, att_on):
-    """Attention-masked edit: out = img*att + x_real*(1-att) when attention
-    is active (solver.py:158-170), else the raw decode."""
-    if att is None:
-        return img
-    att = att.astype(jnp.float32)
-    blended = img.astype(jnp.float32) * att + x_real * (1.0 - att)
-    return jnp.where(att_on, blended, img.astype(jnp.float32))
 
 
 def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
@@ -82,7 +74,7 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
 
     # ---------------- D update ----------------
 
-    def dis_update(state: TrainState, batch, key, att_on, step):
+    def dis_update(state: TrainState, batch, key, att_on, step, lr):
         x_real = batch.image
         c_trg = batch.trg_label * 2.0 - 1.0
         k_enc, k_txt, k_sty, k_gp = jax.random.split(key, 4)
@@ -132,13 +124,15 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         metrics["grad_dis_norm"] = optax.global_norm(grads)
         updates, dis_opt_state = dis_tx.update(grads, state.dis_opt_state,
                                                state.dis_params)
+        # lr is applied here, keyed to the global iteration (see make_optimizer)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         dis_params = optax.apply_updates(state.dis_params, updates)
         return dis_params, dis_opt_state, metrics
 
     # ---------------- G update ----------------
 
     def gen_update(gen_params, gen_opt_state, dis_params, batch, key, att_on,
-                   gen_iter):
+                   gen_iter, lr):
         x_real = batch.image
         c_src = batch.src_label * 2.0 - 1.0
         c_trg = batch.trg_label * 2.0 - 1.0
@@ -242,6 +236,9 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
         metrics["grad_gen_norm"] = optax.global_norm(grads)
         updates, gen_opt_state = gen_tx.update(grads, gen_opt_state, gen_params)
+        # lr keyed to the global iteration, matching the reference's
+        # per-iteration scheduler stepping (train.py:110) under any n_critic
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         gen_params = optax.apply_updates(gen_params, updates)
         return gen_params, gen_opt_state, metrics
 
@@ -252,15 +249,16 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         key = jax.random.fold_in(state.rng, step)
         k_d, k_g = jax.random.split(key)
         att_on = jnp.logical_and(cfg.gen.use_attention, step >= 10000)
+        lr = sched(step)
 
         dis_params, dis_opt_state, d_metrics = dis_update(
-            state, batch, k_d, att_on, step)
+            state, batch, k_d, att_on, step, lr)
 
         gen_iter = step // cfg.n_critic
 
         def run_g(_):
             return gen_update(state.gen_params, state.gen_opt_state,
-                              dis_params, batch, k_g, att_on, gen_iter)
+                              dis_params, batch, k_g, att_on, gen_iter, lr)
 
         def skip_g(_):
             zero = {k: jnp.zeros((), jnp.float32) for k in _GEN_METRIC_KEYS}
@@ -282,7 +280,7 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             ema_gen_params=ema_update(gen_params, state.ema_gen_params),
             ema_dis_params=ema_update(dis_params, state.ema_dis_params),
         )
-        metrics = {**d_metrics, **g_metrics, "lr": sched(step)}
+        metrics = {**d_metrics, **g_metrics, "lr": lr}
         return new_state, metrics
 
     return train_step

@@ -95,6 +95,21 @@ def test_pipeline_batches():
         assert batch.txt.shape == (4, 82)
 
 
+def test_pipeline_surfaces_worker_errors():
+    """A failing dataset must raise in the consumer, not hang the loop."""
+
+    class BadDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            raise IOError(f"corrupt image {i}")
+
+    pipe = DataPipeline(BadDataset(), batch_size=4, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(pipe))
+
+
 def test_celeba_dataset_split(tmp_path):
     """Attr-file parsing + seed-1234 split parity (celeba_data.py:46-73)."""
     from dwcgan_tpu.data.celeba import CelebADataset
