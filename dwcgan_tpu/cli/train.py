@@ -111,6 +111,9 @@ def main(argv=None):
     maybe_initialize_distributed()
     mesh = create_mesh(cfg.mesh_data, cfg.mesh_model)
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+    assert cfg.batch_size % mesh.shape["data"] == 0, (
+        f"batch_size {cfg.batch_size} must be divisible by the data mesh "
+        f"axis ({mesh.shape['data']}); set batch_size or mesh_data accordingly")
     rng = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(cfg, rng, vocab.size, embed_table)
     n_gen = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.gen_params))
@@ -174,11 +177,13 @@ def main(argv=None):
     else:
         dataset = CelebADataset(cfg.data_root, cfg.attr_path, mode="train",
                                 crop_size=cfg.crop_size, image_size=cfg.image_size,
-                                max_text_len=cfg.max_text_len, seed=cfg.seed)
+                                max_text_len=cfg.max_text_len, seed=cfg.seed,
+                                test_split=cfg.test_split)
         test_dataset = CelebADataset(cfg.data_root, cfg.attr_path, mode="test",
                                      crop_size=cfg.crop_size,
                                      image_size=cfg.image_size,
-                                     max_text_len=cfg.max_text_len, seed=cfg.seed)
+                                     max_text_len=cfg.max_text_len, seed=cfg.seed,
+                                     test_split=cfg.test_split)
     pipe = DataPipeline(dataset, cfg.batch_size, num_workers=cfg.num_workers,
                         seed=cfg.seed)
 

@@ -151,6 +151,7 @@ class Config:
     dis_pretrain: str = ""
     vgg_model_path: str = ""
     max_text_len: int = 80         # tokens before BOS/EOS (reference: celeba_data.py:98)
+    test_split: int = 1999         # first N shuffled rows -> test (celeba_data.py:68)
 
     # --- TPU-first additions (no reference equivalent) ---
     seed: int = 1234               # reference: train.py:23
