@@ -55,8 +55,9 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
+        # torchvision's F.avg_pool2d(padding=1) counts padded zeros
         bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -87,8 +88,9 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        # torchvision's F.avg_pool2d(padding=1) counts padded zeros
         bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -119,8 +121,9 @@ class InceptionE(nn.Module):
         bda = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd)
         bdb = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
+        # torchvision's F.avg_pool2d(padding=1) counts padded zeros
         bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 

@@ -233,7 +233,8 @@ class Decoder(nn.Module):
         for _ in range(self.n_upsample):
             x = upsample2x(x)
             d //= 2
-            x = Conv2dBlock(d, 5, 1, 2, norm="ln", **kw)(x)
+            x = Conv2dBlock(d, 5, 1, 2, norm="ln", use_pallas=self.use_pallas,
+                            **kw)(x)
         image = Conv2dBlock(self.out_dim, 7, 1, 3, norm="none", activ="tanh",
                             pad_type=self.pad_type, dtype=self.dtype,
                             kernel_init=self.kernel_init, name="image_head")(x)

@@ -169,6 +169,8 @@ class Conv2dBlock(nn.Module):
             assert adain_scale is not None and adain_bias is not None, \
                 "adain norm requires style-derived scale/bias"
             x = adain(x, adain_scale, adain_bias)
+        elif self.norm not in ("none", "sn"):
+            raise ValueError(f"Unsupported normalization: {self.norm}")
 
         if self.activ == "prelu":
             return PReLU()(x)
@@ -204,6 +206,23 @@ class LinearBlock(nn.Module):
             n = x32.shape[-1]
             var = jnp.square(x32 - mean).sum(-1, keepdims=True) / max(n - 1, 1)
             x = ((x32 - mean) / (jnp.sqrt(var) + 1e-5) * gamma + beta).astype(x.dtype)
+        elif self.norm == "bn":
+            # stats-free 1-D batch norm (reference uses BatchNorm1d; running
+            # stats not tracked — documented divergence, unused by configs)
+            gamma = self.param("bn_gamma", nn.initializers.ones, (self.features,), jnp.float32)
+            beta = self.param("bn_beta", nn.initializers.zeros, (self.features,), jnp.float32)
+            x32 = x.astype(jnp.float32)
+            mean = x32.mean(axis=0, keepdims=True)
+            var = jnp.square(x32 - mean).mean(axis=0, keepdims=True)
+            x = ((x32 - mean) / jnp.sqrt(var + 1e-5) * gamma + beta).astype(x.dtype)
+        elif self.norm == "in":
+            # reference's InstanceNorm1d on [N, F] input is itself invalid
+            # torch usage; reject loudly rather than silently diverge
+            raise NotImplementedError(
+                "LinearBlock norm='in' (InstanceNorm1d on 2-D input) is "
+                "ill-defined in the reference; use bn/ln/none")
+        elif self.norm not in ("none", "sn"):
+            raise ValueError(f"Unsupported normalization: {self.norm}")
         if self.activ == "prelu":
             return PReLU()(x)
         return activation(self.activ, linear_block=True)(x)

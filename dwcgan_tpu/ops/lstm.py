@@ -95,8 +95,10 @@ class _LSTMBiFused(nn.Module):
     The forward stream and the length-reversed stream stack along the batch
     axis, so per layer there is ONE scan of [2B, 4H] gate matmuls instead of
     two [B, 4H] scans — half the sequential launches, better MXU shapes.
-    Parameters are stored per-direction (same names/shapes as the unfused
-    `_LSTMDirection` modules) so checkpoints are layout-identical.
+    Parameter SHAPES match the unfused `_LSTMDirection` modules, but the
+    tree layout differs (`l{i}/fwd_w_x` here vs `l{i}_fwd/w_x` unfused):
+    checkpoints are NOT interchangeable across `fuse_directions` settings —
+    pick one per training run.
     """
 
     hidden: int

@@ -247,8 +247,10 @@ def _ln_fwd_kernel(x_ref, gamma_ref, beta_ref, o_ref, mean_ref, denom_ref):
     denom = jnp.sqrt(var) + _EPS                 # std + eps, NOT sqrt(var+eps)
     y = u / denom * gamma_ref[0] + beta_ref[0]
     o_ref[0] = y.astype(o_ref.dtype)
-    mean_ref[0, 0] = mean
-    denom_ref[0, 0] = denom
+    # Mosaic cannot store scalars to VMEM and (1,1) blocks violate tiling;
+    # per-sample stats are broadcast into an (8,128)-tile instead
+    mean_ref[0] = jnp.full((8, 128), mean, jnp.float32)
+    denom_ref[0] = jnp.full((8, 128), denom, jnp.float32)
 
 
 def _ln_bwd_kernel(x_ref, gamma_ref, mean_ref, denom_ref, g_ref,
@@ -256,8 +258,8 @@ def _ln_bwd_kernel(x_ref, gamma_ref, mean_ref, denom_ref, g_ref,
     x = x_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     n = x.shape[0] * x.shape[1]
-    mean = mean_ref[0, 0]
-    d = denom_ref[0, 0]
+    mean = mean_ref[0, 0, 0]
+    d = denom_ref[0, 0, 0]
     s = d - _EPS                                  # std
     u = x - mean
     dbeta_ref[0] = jnp.sum(g, axis=0, keepdims=True)
@@ -281,7 +283,7 @@ def _ln_fwd(x, gamma, beta):
     hw = h * w
     block = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     chan = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     y, mean, denom = pl.pallas_call(
         _ln_fwd_kernel,
         grid=(n,),
@@ -289,8 +291,8 @@ def _ln_fwd(x, gamma, beta):
         out_specs=(block, scal, scal),
         out_shape=(
             jax.ShapeDtypeStruct((n, hw, c), x.dtype),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         ),
         interpret=_use_interpret(),
     )(x.reshape(n, hw, c),
@@ -310,7 +312,7 @@ def _ln_bwd_rule(res, g):
     hw = h * w
     block = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     chan = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     pchan = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dx, dgamma, dbeta = pl.pallas_call(
         _ln_bwd_kernel,

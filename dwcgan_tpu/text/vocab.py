@@ -1,6 +1,6 @@
 """Fixed vocabularies and tokenization helpers.
 
-The reference ships hard-coded word lists (CelebA: 99 words, CUB200: 56 words)
+The reference ships hard-coded word lists (CelebA: 98 words, CUB200: 56 words)
 plus PAD/BOS/EOS/UNK specials and pad-to-fixed-length packing
 (`/root/reference/vocab.py:7-241`).  The word lists themselves are *data* —
 they must match for command parity — but the surrounding machinery here is
@@ -49,7 +49,7 @@ class Vocab:
 
     Layout matches the reference (`vocab.py:168-185`): with sentence markers
     the id space is [PAD, BOS, EOS, UNK, *words]; without, [PAD, UNK, *words].
-    CelebA size = 103 (99 words + 4 specials).
+    CelebA size = 102 (98 words + 4 specials).
     """
 
     def __init__(self, dataset: str = "CelebA", with_markers: bool = True):
