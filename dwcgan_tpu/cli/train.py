@@ -58,15 +58,25 @@ def parse_args(argv=None):
 
 def load_pretrained_embeddings(path):
     """The reference ships a pickled OrderedDict[word -> float32[300]]
-    (tools/build_embeddings.py); accept pickle or .npz."""
+    (tools/build_embeddings.py); accept pickle, pickled .npy, or .npz."""
     if not path or not os.path.exists(path):
         return None
     try:
         with open(path, "rb") as f:
             return pickle.load(f)
     except Exception:
+        pass
+    try:
         data = np.load(path, allow_pickle=True)
-        return data.item() if hasattr(data, "item") else None
+    except Exception:
+        print(f"could not read pretrained embeddings at {path}; ignoring")
+        return None
+    if hasattr(data, "files"):  # NpzFile: {word: vector} arrays
+        return {k: data[k] for k in data.files}
+    if hasattr(data, "item") and data.dtype == object:
+        return data.item()
+    print(f"unrecognized embedding format at {path}; ignoring")
+    return None
 
 
 class SyntheticDataset:
@@ -191,14 +201,18 @@ def main(argv=None):
         items = [ds[i] for i in range(n)]
         return Batch(*(np.stack([it[k] for it in items]) for k in range(5)))
 
-    disp = fixed_display(test_dataset, cfg.display_size)
-    disp_dev = shard_batch(disp, mesh) if cfg.display_size % mesh.shape["data"] == 0 \
-        else Batch(*(jax.device_put(np.asarray(x)) for x in disp))
+    def to_dev(b):
+        return shard_batch(b, mesh) if cfg.display_size % mesh.shape["data"] == 0 \
+            else Batch(*(jax.device_put(np.asarray(x)) for x in b))
 
-    def render(tag, step_i):
+    disp_dev = to_dev(fixed_display(test_dataset, cfg.display_size))
+    disp_train_dev = to_dev(fixed_display(dataset, cfg.display_size))
+
+    def render(tag, step_i, train=False):
         att_on = np.asarray(cfg.gen.use_attention and step_i >= 10000)
+        d = disp_train_dev if train else disp_dev
         rows = sample_fn(state.ema_gen_params, jax.random.PRNGKey(step_i),
-                         disp_dev.image, disp_dev.txt, disp_dev.txt_len, att_on)
+                         d.image, d.txt, d.txt_len, att_on)
         save_image_grid([np.asarray(r) for r in rows], cfg.display_size,
                         os.path.join(img_dir, f"{tag}.jpg"))
 
@@ -252,12 +266,16 @@ def main(argv=None):
             render("train_current", step_i)
         if (step_i + 1) % cfg.image_save_iter == 0:
             render(f"test_{step_i + 1:08d}", step_i)
+            render(f"train_{step_i + 1:08d}", step_i, train=True)
             write_html_gallery(os.path.join(out_dir, "index.html"), step_i + 1,
                                cfg.image_save_iter)
         if (step_i + 1) % cfg.snapshot_save_iter == 0:
             ckpt.save(state)
         step_i += 1
 
+    if profiler_active:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
     ckpt.save(state, wait=True)
     writer.close()
     print("Finish training")

@@ -5,9 +5,12 @@
         --list edits.tsv --image_dir ./images --out_dir ./edited
 
 `edits.tsv`: one "image<TAB>command" per line (the same format as the
-reference's `valid/FID-IS/src2trg_*.lst`).  Uses the EMA generator, batches
-on device, writes PNGs.  This is the serving surface the reference only
-exposes implicitly through `Solver.forward` (solver.py:142-149).
+reference's `valid/FID-IS/src2trg_*.lst`; the same source image may appear
+under many commands).  Uses the EMA generator, batches on device, and writes
+one output per LINE, named `{line_index:06d}_{basename}` so repeated source
+images never overwrite each other (format follows the extension).  This is
+the serving surface the reference only exposes implicitly through
+`Solver.forward` (solver.py:142-149).
 """
 
 from __future__ import annotations
@@ -64,10 +67,10 @@ def main(argv=None):
         ids, lens = encode_commands([c for _, c in chunk] + ["do nothing"] * pad,
                                     vocab, cfg.max_text_len)
         out = np.asarray(infer(params, batch_imgs, ids, lens))[: len(chunk)]
-        for (name, _), img in zip(chunk, out):
+        for j, ((name, _), img) in enumerate(zip(chunk, out)):
             u8 = ((np.clip(img, -1, 1) + 1) * 127.5 + 0.5).astype(np.uint8)
-            Image.fromarray(u8).save(
-                os.path.join(args.out_dir, os.path.basename(name)))
+            Image.fromarray(u8).save(os.path.join(
+                args.out_dir, f"{i + j:06d}_{os.path.basename(name)}"))
         print(f"{min(i + bs, len(pairs))}/{len(pairs)}")
     print(f"wrote {len(pairs)} images to {args.out_dir}")
 

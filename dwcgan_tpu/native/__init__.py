@@ -38,7 +38,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # always invoke make (incremental, ~no-op when fresh) so image_ops.cpp
+    # edits are never shadowed by a stale binary
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -62,11 +64,15 @@ def available() -> bool:
     return load_library() is not None
 
 
-def _bilinear_halfpixel_numpy(img: np.ndarray, out_size: int) -> np.ndarray:
-    """Reference semantics of the native kernel's resize (for fallback/tests)."""
+def _preprocess_one_numpy(img: np.ndarray, crop: int, out_size: int) -> np.ndarray:
+    """Exact NumPy mirror of the C++ kernel's sampling: source coordinates
+    are computed in the crop window but CLAMPED TO THE FULL IMAGE (so
+    upscaling configs blend pixels just outside the crop, like the kernel)."""
     h, w, _ = img.shape
-    sy = (np.arange(out_size) + 0.5) * (h / out_size) - 0.5
-    sx = (np.arange(out_size) + 0.5) * (w / out_size) - 0.5
+    top, left = (h - crop) // 2, (w - crop) // 2
+    scale = crop / out_size
+    sy = (np.arange(out_size) + 0.5) * scale - 0.5 + top
+    sx = (np.arange(out_size) + 0.5) * scale - 0.5 + left
     y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
     x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
@@ -74,9 +80,9 @@ def _bilinear_halfpixel_numpy(img: np.ndarray, out_size: int) -> np.ndarray:
     fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
     fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
     img = img.astype(np.float32)
-    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
-    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
-    return top * (1 - fy) + bot * fy
+    top_v = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot_v = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top_v * (1 - fy) + bot_v * fy
 
 
 def preprocess_batch(images: np.ndarray, crop: int, out_size: int,
@@ -104,14 +110,16 @@ def preprocess_batch(images: np.ndarray, crop: int, out_size: int,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
-    # NumPy fallback with identical semantics
-    top, left = (h - crop) // 2, (w - crop) // 2
+    # NumPy fallback with identical semantics (incl. full-image clamping)
     out = np.empty((n, out_size, out_size, 3), dtype=np.float32)
     for i in range(n):
-        img = images[i, top : top + crop, left : left + crop]
+        img = images[i]
         if hflips is not None and hflips[i]:
-            img = img[:, ::-1]
-        out[i] = _bilinear_halfpixel_numpy(img, out_size)
+            # kernel flips by mirroring output x; flipping the source image
+            # is equivalent when (w - crop) is even (centered window) — true
+            # for CelebA (178-178); odd diffs shift sampling by one pixel
+            img = np.ascontiguousarray(img[:, ::-1])
+        out[i] = _preprocess_one_numpy(img, crop, out_size)
     return out / 127.5 - 1.0
 
 

@@ -1,7 +1,8 @@
 """Failure detection (SURVEY §5.3: the reference has none — crash recovery is
 manual restart).  Here: a NaN/Inf tripwire over the per-step metrics that
-saves an emergency checkpoint and raises, so long unattended runs fail loudly
-and resumably instead of training on garbage."""
+raises, so long unattended runs fail loudly instead of training on garbage.
+The corrupted state is deliberately NOT checkpointed — the last healthy
+periodic snapshot stays the latest, so --resume 1 restarts cleanly."""
 
 from __future__ import annotations
 
@@ -27,8 +28,11 @@ class FiniteGuard:
 
     def check(self, step: int, metrics: Dict[str, float],
               checkpoint=None, state=None) -> bool:
-        """Returns True if healthy.  Raises NonFiniteLossError when tripped,
-        after saving an emergency checkpoint if a manager is provided."""
+        """Returns True if healthy; raises NonFiniteLossError when tripped.
+
+        The NaN state is never saved (it would become the newest checkpoint
+        and poison --resume); the message names the last healthy snapshot.
+        """
         if step % self.every != 0:
             return True
         bad = [k for k in self.keys
@@ -38,9 +42,14 @@ class FiniteGuard:
             return True
         self._strikes += 1
         if self._strikes >= self.patience:
-            if checkpoint is not None and state is not None:
-                checkpoint.save(state, wait=True)
+            last_good = None
+            if checkpoint is not None:
+                try:
+                    last_good = checkpoint.latest_step()
+                except Exception:
+                    pass
             raise NonFiniteLossError(
                 f"non-finite {bad} at step {step} "
-                f"({self._strikes} consecutive checks)")
+                f"({self._strikes} consecutive checks); resume from the last "
+                f"healthy checkpoint (step {last_good})")
         return False

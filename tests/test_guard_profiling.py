@@ -15,6 +15,9 @@ class _FakeCkpt:
     def save(self, state, wait=False):
         self.saved = True
 
+    def latest_step(self):
+        return 42
+
 
 def test_guard_passes_finite():
     g = FiniteGuard(every=10, patience=1)
@@ -22,14 +25,16 @@ def test_guard_passes_finite():
         assert g.check(step, {"loss_gen_total": 1.0, "loss_dis_all": 2.0})
 
 
-def test_guard_trips_on_persistent_nan_and_saves():
+def test_guard_trips_on_persistent_nan_without_saving():
+    """The corrupted state must NOT be checkpointed (it would become the
+    newest snapshot and poison --resume); the error names the last good one."""
     g = FiniteGuard(every=10, patience=2)
     ckpt = _FakeCkpt()
     bad = {"loss_gen_total": float("nan"), "loss_dis_all": 1.0}
     assert not g.check(10, bad)  # first strike
-    with pytest.raises(NonFiniteLossError):
+    with pytest.raises(NonFiniteLossError, match="step 42"):
         g.check(20, bad, checkpoint=ckpt, state=object())
-    assert ckpt.saved
+    assert not ckpt.saved
 
 
 def test_guard_recovers_after_transient():

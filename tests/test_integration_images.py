@@ -107,6 +107,9 @@ def test_train_then_evaluate_and_translate_cli(fake_celeba, tmp_path):
     translate_main(["--config", str(cfg_path), "--checkpoint", str(ckpt_dir),
                     "--list", str(src2trg), "--image_dir", img_dir,
                     "--out_dir", str(out_dir), "--batch_size", "4"])
-    assert len(os.listdir(out_dir)) == 6
-    out = np.asarray(Image.open(out_dir / names[0]))
+    written = sorted(os.listdir(out_dir))
+    assert len(written) == 6
+    # line-indexed names: repeated source images never overwrite each other
+    assert written[0] == f"000000_{names[0]}"
+    out = np.asarray(Image.open(out_dir / written[0]))
     assert out.shape == (32, 32, 3)
