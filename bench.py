@@ -39,11 +39,16 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    # BENCH_VGG=0 benches the round-1 recipe (no perceptual term); default
+    # matches the reference recipe (vgg_w 0.1, ref configs/celeba_faces.yaml:34)
+    use_vgg = os.environ.get("BENCH_VGG", "1") != "0"
 
     cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
                                    "configs", "celeba_faces.yaml"))
     cfg.batch_size = batch_size
     cfg.attr_path = "/nonexistent"
+    if not use_vgg:
+        cfg.vgg_w = 0.0
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)
@@ -57,7 +62,15 @@ def main():
     gen, dis = build_models(cfg, 102)
     gen_tx = make_optimizer(cfg, state.gen_params)
     dis_tx = make_optimizer(cfg, state.dis_params)
-    step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+    vgg_loss_fn = None
+    if cfg.vgg_w > 0:
+        # random-init weights are throughput-equivalent to pretrained ones
+        import jax.numpy as jnp
+        from dwcgan_tpu.models.vgg import init_random_vgg, make_vgg_loss_fn
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        vgg_loss_fn = make_vgg_loss_fn(init_random_vgg(cfg.seed), dtype=dtype)
+    step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx,
+                                      vgg_loss_fn=vgg_loss_fn),
                       donate_argnums=0)
 
     b = synthetic_batch(batch_size, cfg.image_size, seed=0)

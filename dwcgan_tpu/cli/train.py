@@ -19,6 +19,7 @@ import pickle
 import shutil
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dwcgan_tpu.config import load_config
@@ -49,6 +50,11 @@ def parse_args(argv=None):
                    help="override config max_iter")
     p.add_argument("--synthetic_data", action="store_true",
                    help="train on synthetic batches (no CelebA needed)")
+    p.add_argument("--procedural_data", action="store_true",
+                   help="train on procedural label-controlled faces "
+                        "(quality evidence without CelebA; data/procedural.py)")
+    p.add_argument("--procedural_size", type=int, default=20000,
+                   help="procedural dataset size (train split)")
     p.add_argument("--mesh_model", type=int, default=None,
                    help="override tensor-parallel axis size")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -143,10 +149,21 @@ def main(argv=None):
     if cfg.vgg_w > 0:
         vgg_path = cfg.vgg_model_path or os.path.join(args.output_path,
                                                       "models", "vgg16.npz")
+        from dwcgan_tpu.models.vgg import (
+            init_random_vgg, load_vgg_params, make_vgg_loss_fn)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if os.path.exists(vgg_path):
-            from dwcgan_tpu.models.vgg import load_vgg_params, make_vgg_loss_fn
-            vgg_loss_fn = make_vgg_loss_fn(load_vgg_params(vgg_path))
+            vgg_loss_fn = make_vgg_loss_fn(load_vgg_params(vgg_path), dtype=dtype)
             print(f"perceptual loss on (weights: {vgg_path})")
+        elif cfg.vgg_random_fallback:
+            # zero-egress: pretrained weights may be unavailable.  Random
+            # VGG features still give a structure-sensitive perceptual
+            # distance and keep the step's cost/loss graph matching the
+            # reference recipe (vgg_w 0.1, configs/celeba_faces.yaml:34).
+            vgg_loss_fn = make_vgg_loss_fn(init_random_vgg(cfg.seed), dtype=dtype)
+            print(f"WARNING: vgg_w={cfg.vgg_w} but no weights at {vgg_path}; "
+                  "using RANDOM-INIT VGG features (vgg_random_fallback). "
+                  "Build real weights with cli.convert_vgg for paper parity.")
         else:
             print(f"vgg_w={cfg.vgg_w} but no weights at {vgg_path}; "
                   "perceptual loss off (build with cli.convert_vgg)")
@@ -165,7 +182,7 @@ def main(argv=None):
     os.makedirs(img_dir, exist_ok=True)
     shutil.copy(args.config, os.path.join(out_dir, "config.yaml"))
     writer = MetricWriter(log_dir)
-    ckpt = CheckpointManager(ckpt_dir, max_to_keep=5)
+    ckpt = CheckpointManager(ckpt_dir, max_to_keep=cfg.ckpt_keep)
 
     if cfg.use_pretrain and cfg.gen_pretrain:
         # partial warm-start skipping the embedding table (solver.py:383-400);
@@ -179,7 +196,17 @@ def main(argv=None):
         print(f"Resume from iteration {int(state.step)}")
 
     # --- data ---
-    if args.synthetic_data or not os.path.exists(cfg.attr_path):
+    if args.procedural_data:
+        from dwcgan_tpu.data.procedural import ProceduralFaceDataset
+        dataset = ProceduralFaceDataset(
+            n_samples=args.procedural_size, image_size=cfg.image_size,
+            seed=cfg.seed, mode="train", max_text_len=cfg.max_text_len,
+            dataset=cfg.dataset)
+        test_dataset = ProceduralFaceDataset(
+            n_samples=max(cfg.display_size, 512), image_size=cfg.image_size,
+            seed=cfg.seed + 777, mode="test", max_text_len=cfg.max_text_len,
+            dataset=cfg.dataset)
+    elif args.synthetic_data or not os.path.exists(cfg.attr_path):
         if not args.synthetic_data:
             print(f"attr file {cfg.attr_path} not found -> synthetic data")
         dataset = SyntheticDataset(cfg)

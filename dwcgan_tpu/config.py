@@ -159,7 +159,12 @@ class Config:
     mesh_data: int = -1            # data-parallel axis size; -1 = all local devices
     mesh_model: int = 1            # model/tensor-parallel axis size
     d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
+    ckpt_keep: int = 5             # orbax max_to_keep (reference keeps all)
     use_pallas: bool = True        # fused Pallas instance-norm kernels on TPU
+    # zero-egress fallback: when vgg_w > 0 but no converted weights exist,
+    # use random-init VGG features so the training recipe (loss graph + cost)
+    # still matches the reference (configs/celeba_faces.yaml:34 vgg_w: 0.1)
+    vgg_random_fallback: bool = True
 
     def validate(self) -> "Config":
         assert self.init in _VALID_INIT

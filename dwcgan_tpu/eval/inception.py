@@ -169,6 +169,24 @@ def preprocess_for_inception(images: jnp.ndarray, size: int = 299) -> jnp.ndarra
 
 
 def init_random_inception(seed: int = 0, num_classes: int = 1000):
+    """Random-weight variables whose features are actually usable.
+
+    Flax's default lecun-normal init preserves variance through the linear
+    part of each conv but loses ~half of it at every ReLU; through this
+    trunk's ~40 sequential conv+relu layers the signal decays to ~1e-4 and
+    FID degenerates to 0 for ANY pair of image sets.  Rescaling every conv
+    kernel by sqrt(2) (He init) keeps activations O(1), giving random
+    features that genuinely discriminate distributions (random-feature FID).
+    """
     model = InceptionV3(num_classes=num_classes)
     x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(seed), x)
+    variables = model.init(jax.random.PRNGKey(seed), x)
+
+    def rescale(path, p):
+        names = [getattr(k, "key", str(k)) for k in path]
+        if "conv" in names and names[-1] == "kernel":
+            return p * jnp.sqrt(2.0)
+        return p
+
+    params = jax.tree_util.tree_map_with_path(rescale, variables["params"])
+    return {"params": params}
