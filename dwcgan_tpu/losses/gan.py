@@ -28,6 +28,26 @@ def _bce_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
+def focal_loss(inputs: jnp.ndarray, targets: jnp.ndarray, alpha: float = 1.0,
+               gamma: float = 2.0, logits: bool = True,
+               use_reduce: bool = True) -> jnp.ndarray:
+    """Focal loss (reference `networks.py:18-37`; instantiated at `:76` but
+    bypassed by `_classification_loss` — provided for C17 block parity).
+
+    alpha * (1 - exp(-bce))**gamma * bce, elementwise; mean when use_reduce.
+    """
+    x = inputs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    if logits:
+        bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    else:
+        eps = 1e-12
+        bce = -(t * jnp.log(x + eps) + (1.0 - t) * jnp.log(1.0 - x + eps))
+    pt = jnp.exp(-bce)
+    out = alpha * (1.0 - pt) ** gamma * bce
+    return jnp.mean(out) if use_reduce else out
+
+
 def adversarial_d_loss(src_fake: jnp.ndarray, src_real: jnp.ndarray,
                        gan_type: str) -> jnp.ndarray:
     """Per-scale D adversarial term (networks.py:129-140)."""

@@ -82,16 +82,20 @@ def pad2d(x: jnp.ndarray, padding: int, pad_type: str) -> jnp.ndarray:
     return jnp.pad(x, widths, mode=mode)
 
 
-def _spectral_normalize(w: jnp.ndarray, n_iter: int = 5) -> jnp.ndarray:
+def _spectral_normalize(w: jnp.ndarray, n_iter: int = 30) -> jnp.ndarray:
     """Stateless power-iteration spectral normalization.
 
     The reference persists u across forwards and runs ONE iteration per call
     (networks.py:758-816) — mutable module state.  The TPU-first form is
     functional: restart from a fixed vector and run `n_iter` iterations each
     call, so the op is jit-pure and threads through the fused train step
-    with no mutable collections.  For conv-kernel spectra a handful of
-    iterations estimates sigma to within a few percent (documented
-    divergence: sigma is re-estimated, not amortized).
+    with no mutable collections.
+
+    Accuracy (measured in tests/test_losses.py): 30 iterations estimate
+    sigma within ~1.6% even on the worst case — large random Gaussian
+    kernels, whose Marchenko-Pastur spectrum is nearly flat; trained kernels
+    develop a spectral gap and converge much faster.  Cost is 2 matvecs per
+    iteration, negligible next to the convolution itself.
     """
     out_dim = w.shape[-1]
     w_mat = w.reshape(-1, out_dim).astype(jnp.float32)  # [fan_in, out]

@@ -26,6 +26,21 @@ def sample_style(key: jax.Array, comp_means: jnp.ndarray, c_dim: int,
     return z.reshape(n, k * c_dim).astype(dtype)
 
 
+def sample_style_flat(key: jax.Array, mu: jnp.ndarray, v_dim: int = 1,
+                      stddev: float = 0.5, dtype=jnp.float32) -> jnp.ndarray:
+    """v1 `distribution_sampling` equivalent (reference tools.py:49-55).
+
+    mu: [N, M] flat style means; draws v_dim i.i.d. N(mu, stddev) samples per
+    element, element-major layout (the reference's transpose/view chain) ->
+    [N, M * v_dim].  With v_dim=1 this is plain per-element Gaussian noise
+    around mu — the legacy single-head style sampler.
+    """
+    n, m = mu.shape
+    eps = jax.random.normal(key, (n, m, v_dim), jnp.float32)
+    z = mu.astype(jnp.float32)[:, :, None] + stddev * eps
+    return z.reshape(n, m * v_dim).astype(dtype)
+
+
 def blend_attention(img, att, x_real, att_on=True):
     """Attention-masked edit: img*att + x_real*(1-att) when attention is
     active (solver.py:158-170); the raw decode otherwise.  `att_on` may be a

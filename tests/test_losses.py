@@ -156,3 +156,86 @@ def test_style_replace():
     out = np.asarray(style_replace(c_src, c_trg, z_src, z_trg, c_dim=2))
     # attr 0 unchanged -> source block kept; attrs 1,2 changed -> target kept
     np.testing.assert_array_equal(out, [[0, 1, -1, -1, -1, -1]])
+
+
+def test_focal_loss_matches_torch():
+    """Focal loss vs a torch oracle built exactly as the reference's
+    FocalLoss.forward (networks.py:26-37)."""
+    from dwcgan_tpu.losses.gan import focal_loss
+
+    x = _rand((6, 8), 21)
+    t = (np.random.default_rng(22).random((6, 8)) > 0.5).astype(np.float32)
+
+    for logits in (True, False):
+        inp = x if logits else 1.0 / (1.0 + np.exp(-x))
+        ti, tt = torch.tensor(inp), torch.tensor(t)
+        if logits:
+            bce = torch.nn.functional.binary_cross_entropy_with_logits(
+                ti, tt, reduction="none")
+        else:
+            bce = torch.nn.functional.binary_cross_entropy(ti, tt, reduction="none")
+        pt = torch.exp(-bce)
+        want = (1.0 * (1 - pt) ** 2 * bce).mean().item()
+        got = float(focal_loss(jnp.asarray(inp), jnp.asarray(t), logits=logits))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # unreduced path
+        got_elem = np.asarray(focal_loss(jnp.asarray(inp), jnp.asarray(t),
+                                         logits=logits, use_reduce=False))
+        np.testing.assert_allclose(
+            got_elem, (1.0 * (1 - pt) ** 2 * bce).numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_sample_style_flat_statistics_and_layout():
+    """v1 distribution_sampling equivalent (tools.py:49-55): element-major
+    [N, M*v_dim] layout, mean mu, stddev sigma."""
+    from dwcgan_tpu.train.sampling import sample_style_flat
+
+    mu = jnp.asarray(_rand((256, 16), 33))
+    z = np.asarray(sample_style_flat(jax.random.PRNGKey(1), mu, v_dim=4,
+                                     stddev=0.5))
+    assert z.shape == (256, 64)
+    zb = z.reshape(256, 16, 4)
+    err = np.abs(zb.mean(axis=2) - np.asarray(mu))
+    assert err.mean() < 0.25                       # centered per element
+    assert abs((zb - np.asarray(mu)[:, :, None]).std() - 0.5) < 0.02
+
+    # v_dim=1 degenerates to mu + noise in the original order
+    z1 = np.asarray(sample_style_flat(jax.random.PRNGKey(2), mu, v_dim=1,
+                                      stddev=1e-6))
+    np.testing.assert_allclose(z1, np.asarray(mu), atol=1e-4)
+
+
+def test_spectral_norm_sigma_accuracy():
+    """The stateless 5-iteration power method (ops/blocks.py) must estimate
+    sigma within a few percent of the exact SVD value on the actual D kernel
+    shapes — and at least as well as torch's persisted-u spectral_norm after
+    one forward (the reference runs ONE iteration per call,
+    networks.py:793-802)."""
+    from dwcgan_tpu.ops.blocks import _spectral_normalize
+
+    shapes = [(4, 4, 3, 64), (4, 4, 64, 128), (4, 4, 256, 512),
+              (1, 1, 512, 1), (7, 7, 512, 8)]
+    for i, shp in enumerate(shapes):
+        w = _rand(shp, 40 + i)
+        w_mat = w.reshape(-1, shp[-1])
+        sigma_true = np.linalg.svd(w_mat, compute_uv=False)[0]
+
+        w_norm = np.asarray(_spectral_normalize(jnp.asarray(w)))
+        # recover the sigma the op divided by
+        sigma_est = float(np.median(w.reshape(-1) / w_norm.reshape(-1)))
+        rel_err = abs(sigma_est - sigma_true) / sigma_true
+        assert rel_err < 0.03, f"{shp}: sigma rel err {rel_err:.4f}"
+
+        # torch oracle: spectral_norm with one fresh power iteration (the
+        # reference runs ONE iteration per forward, networks.py:793-802)
+        lin = torch.nn.Linear(w_mat.shape[0], w_mat.shape[1], bias=False)
+        with torch.no_grad():
+            lin.weight.copy_(torch.tensor(w_mat.T))
+        sn = torch.nn.utils.spectral_norm(lin, n_power_iterations=1)
+        with torch.no_grad():
+            sn(torch.zeros(1, w_mat.shape[0]))
+        w_t = sn.weight.detach().numpy().T
+        sigma_torch = float(np.median(w_mat.reshape(-1) / w_t.reshape(-1)))
+        torch_err = abs(sigma_torch - sigma_true) / sigma_true
+        assert rel_err <= torch_err + 0.02, (
+            f"{shp}: ours {rel_err:.4f} vs torch-1-iter {torch_err:.4f}")
