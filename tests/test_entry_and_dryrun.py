@@ -8,6 +8,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_dryrun_multichip_8():
@@ -15,11 +16,13 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     import __graft_entry__ as g
     g.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """Driver contract: from a process with too few devices, dryrun_multichip
     must re-exec itself with a virtual CPU mesh instead of asserting

@@ -86,6 +86,7 @@ def test_train_step_runs_and_updates():
     assert 0 < ema_moved < raw_moved
 
 
+@pytest.mark.slow
 def test_train_step_deterministic():
     cfg = tiny_cfg()
     mesh = create_mesh()
@@ -98,6 +99,7 @@ def test_train_step_deterministic():
     assert outs[0] == outs[1]
 
 
+@pytest.mark.slow
 def test_n_critic_gates_generator():
     cfg = tiny_cfg(n_critic=2)
     mesh = create_mesh()
@@ -114,6 +116,7 @@ def test_n_critic_gates_generator():
     assert float(m["loss_gen_total"]) != 0.0
 
 
+@pytest.mark.slow
 def test_penalties_compile_and_fire():
     cfg = tiny_cfg(use_r1=True, gp_w=0.5, d_reg_every=2)
     mesh = create_mesh()
@@ -126,6 +129,7 @@ def test_penalties_compile_and_fire():
     assert float(m1["loss_r1"]) > 0.0
 
 
+@pytest.mark.slow
 def test_spectral_norm_discriminator_trains():
     """dis norm='sn' (stateless power iteration) works inside the fused step."""
     cfg = tiny_cfg(dis={"norm": "sn", "dim": 8, "n_layer": 3,
@@ -186,6 +190,7 @@ def test_lr_schedule_cosa_restarts():
     np.testing.assert_allclose(float(f2(300)), 1e-4, rtol=1e-4)  # 3rd period start
 
 
+@pytest.mark.slow
 def test_attention_gate_uses_step():
     """Raw decode before iter 10000 when attention enabled; blended after.
     Validated indirectly: the metric graph must not recompile across the
