@@ -6,10 +6,15 @@ multi-scale D passes, both optimizers, EMA — SURVEY §3.2-3.3), bfloat16
 compute, synthetic batches (the reference trains on 128px CelebA; image
 content does not affect throughput).
 
-vs_baseline: the reference publishes NO numbers (BASELINE.md).  The
-denominator is an estimate of the reference's training throughput: batch 1
-at ~0.35 s/iteration for this graph on a contemporary GPU => ~2.86 img/s.
-Documented as an estimate; the absolute images/sec/chip is the durable metric.
+vs_baseline: the reference publishes NO numbers (BASELINE.md) and no GPU
+exists in this environment.  The denominator is therefore MEASURED: the
+actual reference implementation (imported from /root/reference, executed
+unchanged) timed on this host's CPU via tools/bench_reference.py, recorded
+in tools/baseline_measured.json.  vs_baseline = our TPU-chip throughput /
+the reference's measured throughput on the only hardware it can run on
+here; PERF.md additionally reports the same-hardware (CPU vs CPU)
+framework ratio.  If the measured file is absent we fall back to the
+round-1 documented GPU estimate (batch 1 at ~0.35 s/iter => 2.86 img/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,8 +25,24 @@ import time
 
 import numpy as np
 
-REFERENCE_IMGS_PER_SEC_ESTIMATE = 2.86        # full train step, batch 1
+REFERENCE_IMGS_PER_SEC_ESTIMATE = 2.86        # full train step, batch 1 (GPU est.)
 REFERENCE_INFER_IMGS_PER_SEC_ESTIMATE = 30.0  # forward-only translation, batch 1
+
+
+def reference_denominator() -> float:
+    """Measured reference-torch throughput (img/s) if available, else the
+    documented estimate."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "baseline_measured.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        rows = [r for r in data.values() if r.get("impl") == "reference-torch"]
+        if rows:
+            return max(r["images_per_sec"] for r in rows)
+    except Exception:
+        pass
+    return REFERENCE_IMGS_PER_SEC_ESTIMATE
 
 
 def main():
@@ -103,7 +124,7 @@ def main():
         "metric": "train_images_per_sec_per_chip_128px",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2),
+        "vs_baseline": round(imgs_per_sec_per_chip / reference_denominator(), 2),
     }))
 
 

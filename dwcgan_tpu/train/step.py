@@ -4,8 +4,12 @@ The reference runs `dis_update` then `gen_update` as separate Python calls
 with separate backwards (`/root/reference/train.py:103-107`, `solver.py:151-240,
 317-353`).  Here both updates — D forward/backward/apply, then G's full
 4-encode / 5-decode / text-encode graph, both optimizers, the EMA updates,
-and every loss term — compile into a single jitted function.  Semantics
-deliberately preserved:
+and every loss term — compile into a single jitted function.  Independent
+same-network passes are additionally *batch-fused*: G's four same-content
+decodes run as one decoder pass at 4n, the three re-encodes as one encoder
+pass at 3n, and the D evaluations as single 2n/3n passes (every op involved
+is per-sample, so this is exact — just bigger MXU tiles and fewer kernel
+launches).  Semantics deliberately preserved:
 
 - D updates first and G's adversarial loss sees the *updated* D (the
   reference's sequential `dis_opt.step()` -> `gen_update` ordering)
@@ -72,6 +76,23 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
     def d_apply(p, x, multiscale=True):
         return dis.apply({"params": p}, x, multiscale)
 
+    # ---- pass batching ----
+    # The reference runs 4 encoder / 5 decoder / 3 discriminator passes per G
+    # step as separate module calls (SURVEY §3.2).  Every op involved is
+    # per-sample (instance norm, layer norm, AdaIN, convs), so independent
+    # passes concatenate along the batch axis into ONE pass at k*n batch:
+    # fewer kernel launches and much better MXU utilization at small n.
+
+    def _split(t, k):
+        return jnp.split(t, k, axis=0) if t is not None else (None,) * k
+
+    def _split_outs(outs, k):
+        """Per-scale (src, cls) from a [k*n] batched D pass -> k DisOuts."""
+        parts = [[jnp.split(src, k, 0), jnp.split(cls, k, 0)]
+                 for (src, cls) in outs]
+        return [[(src_s[i], cls_s[i]) for src_s, cls_s in parts]
+                for i in range(k)]
+
     # ---------------- D update ----------------
 
     def dis_update(state: TrainState, batch, key, att_on, step, lr):
@@ -79,24 +100,29 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         c_trg = batch.trg_label * 2.0 - 1.0
         k_enc, k_txt, k_sty, k_gp = jax.random.split(key, 4)
 
-        # fakes from the current G, detached (solver.py:320-331)
+        # fakes from the current G, detached (solver.py:320-331); the two
+        # decodes share the content code -> one decoder pass at 2n
         content, mu, _ = g_encode(state.gen_params, x_real, k_enc)
         style_real = mu.reshape(mu.shape[0], -1)
         mu_txt, _ = g_txt(state.gen_params, style_real, batch.txt,
                           batch.txt_len, k_txt)
         style1 = sample_style(k_sty, c_trg, C, stddev)
-        x_fake, att_f = g_decode(state.gen_params, content,
-                                 mu_txt.reshape(mu.shape[0], -1))
-        x_fake1, att_f1 = g_decode(state.gen_params, content, style1)
-        x_fake = jax.lax.stop_gradient(_blend(x_fake, att_f, x_real, att_on))
-        x_fake1 = jax.lax.stop_gradient(_blend(x_fake1, att_f1, x_real, att_on))
+        x2, att2 = g_decode(state.gen_params, jnp.tile(content, (2, 1, 1, 1)),
+                            jnp.concatenate([mu_txt.reshape(mu.shape[0], -1),
+                                             style1], axis=0))
+        xf, xf1 = _split(x2, 2)
+        att_f, att_f1 = _split(att2, 2)
+        x_fake = jax.lax.stop_gradient(_blend(xf, att_f, x_real, att_on))
+        x_fake1 = jax.lax.stop_gradient(_blend(xf1, att_f1, x_real, att_on))
 
         def loss_fn(dp):
-            outs_real = d_apply(dp, x_real)
+            # one multi-scale D pass over {real, fake, fake1} at 3n
+            outs_real, outs_f, outs_f1 = _split_outs(
+                d_apply(dp, jnp.concatenate([x_real, x_fake, x_fake1], 0)), 3)
             args = (batch.src_label, cfg.dis.gan_type, cfg.dataset,
                     cfg.gan_w, cfg.cls_w)
-            loss = dis_loss(d_apply(dp, x_fake), outs_real, *args) \
-                 + dis_loss(d_apply(dp, x_fake1), outs_real, *args)
+            loss = dis_loss(outs_f, outs_real, *args) \
+                 + dis_loss(outs_f1, outs_real, *args)
             metrics = {"loss_dis": loss}
 
             loss_gp = jnp.zeros((), jnp.float32)
@@ -145,30 +171,32 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             content_real, mu, logvar = g_encode(gp_, x_real, keys[0])
             style_real = mu.reshape(n, -1)
 
-            # within-domain reconstruction (solver.py:158-162)
-            xr, att_r = g_decode(gp_, content_real, style_real)
-            x_real_rec = _blend(xr, att_r, x_real, att_on)
-            content_real_rec, mu_rec, _ = g_encode(gp_, x_real_rec, keys[1])
-
-            # text-guided translation (solver.py:165-170)
+            # target styles: text-conditioned + two GMM samples (solver.py:165,174)
             mu_txt, logvar_txt = g_txt(gp_, style_real, batch.txt,
                                        batch.txt_len, keys[2])
             style_txt = mu_txt.reshape(n, -1)
-            xf, att_xf = g_decode(gp_, content_real, style_txt)
-            x_fake = _blend(xf, att_xf, x_real, att_on)
-
-            # two sampled-style fakes for diversity (solver.py:174-183)
             style1 = sample_style(keys[3], c_trg, C, stddev)
             style2 = sample_style(keys[4], c_trg, C, stddev)
-            xf1, att1 = g_decode(gp_, content_real, style1)
-            xf2, att2 = g_decode(gp_, content_real, style2)
+
+            # the reconstruction/translation/diversity decodes all share
+            # content_real -> ONE decoder pass at 4n (solver.py:158-183)
+            x4, att4 = g_decode(
+                gp_, jnp.tile(content_real, (4, 1, 1, 1)),
+                jnp.concatenate([style_real, style_txt, style1, style2], 0))
+            xr, xf, xf1, xf2 = _split(x4, 4)
+            att_r, att_xf, att1, att2 = _split(att4, 4)
+            x_real_rec = _blend(xr, att_r, x_real, att_on)
+            x_fake = _blend(xf, att_xf, x_real, att_on)
             x_fake1 = _blend(xf1, att1, x_real, att_on)
             x_fake2 = _blend(xf2, att2, x_real, att_on)
             loss_ds = diversity_loss(x_fake1, x_fake2)
-            content_rand, mu_rand, _ = g_encode(gp_, x_fake1, keys[5])
 
-            # re-encode the translation (solver.py:186)
-            content_fake_rec, mu_fake_rec, _ = g_encode(gp_, x_fake, keys[6])
+            # re-encode {reconstruction, translation, sampled fake} in ONE
+            # encoder pass at 3n (solver.py:162, 182, 186)
+            content3, mu3, _ = g_encode(
+                gp_, jnp.concatenate([x_real_rec, x_fake, x_fake1], 0), keys[1])
+            content_real_rec, content_fake_rec, content_rand = _split(content3, 3)
+            mu_rec, mu_fake_rec, mu_rand = _split(mu3, 3)
 
             # cycle (solver.py:188-192)
             loss_cyc = jnp.zeros((), jnp.float32)
@@ -189,11 +217,13 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             loss_recon_s_fake = recon_l1(mu_fake_rec, mu_txt)
             loss_recon_s_rand = recon_l1(mu_rand.reshape(n, -1), style1)
 
-            # adversarial on both fakes, updated D (solver.py:208-209)
+            # adversarial on both fakes, updated D, one 2n pass (solver.py:208-209)
             adv_args = (batch.trg_label, cfg.dis.gan_type, cfg.dataset,
                         cfg.gan_w, cfg.cls_w)
-            loss_adv = gen_adv_loss(d_apply(dis_params, x_fake), *adv_args) \
-                     + gen_adv_loss(d_apply(dis_params, x_fake1), *adv_args)
+            outs_f, outs_f1 = _split_outs(
+                d_apply(dis_params, jnp.concatenate([x_fake, x_fake1], 0)), 2)
+            loss_adv = gen_adv_loss(outs_f, *adv_args) \
+                     + gen_adv_loss(outs_f1, *adv_args)
 
             # distribution matching to the GMM prior (solver.py:212-218)
             if cfg.dist_mode in ("kls", "kl"):
