@@ -239,7 +239,7 @@ class ProceduralFaceDataset:
 
     def __init__(self, n_samples: int = 4000, image_size: int = 128,
                  seed: int = 1234, mode: str = "train", max_text_len: int = 80,
-                 dataset: str = "CelebA"):
+                 dataset: str = "CelebA", cache: bool = True):
         self.image_size = image_size
         self.max_text_len = max_text_len
         self.mode = mode
@@ -249,14 +249,29 @@ class ProceduralFaceDataset:
         self.vocab = Vocab(dataset)
         self.rng = random.Random(seed + (1 if mode == "test" else 0))
         self.synth = TextSynthesizer(self.rng)
+        # renders are deterministic per index; memoize as uint8 (~n*48KB at
+        # 128px) so epochs after the first cost no render CPU — this host
+        # class can be CPU-starved and the renderer would otherwise compete
+        # with XLA dispatch for the core
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.labels)
 
     def render(self, index: int) -> np.ndarray:
         """Deterministic per-index render (nuisance varies with index only)."""
+        if self._cache is not None and index in self._cache:
+            u8 = self._cache[index]
+            return u8.astype(np.float32) / 127.5 - 1.0
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
-        return render_face(self.labels[index], self.image_size, rng)
+        img = render_face(self.labels[index], self.image_size, rng)
+        if self._cache is not None:
+            # store AND return the uint8 roundtrip so repeated calls are
+            # bit-identical (the 1/127.5 quantization is visually lossless)
+            u8 = np.round((img + 1.0) * 127.5).astype(np.uint8)
+            self._cache[index] = u8
+            return u8.astype(np.float32) / 127.5 - 1.0
+        return img
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, ...]:
         src_label = self.labels[index]
