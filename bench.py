@@ -70,6 +70,8 @@ def main():
     cfg.attr_path = "/nonexistent"
     if not use_vgg:
         cfg.vgg_w = 0.0
+    if os.environ.get("BENCH_REMAT", "0") != "0":
+        cfg.remat = True
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)

@@ -161,6 +161,11 @@ class Config:
     d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
     ckpt_keep: int = 5             # orbax max_to_keep (reference keeps all)
     use_pallas: bool = True        # fused Pallas instance-norm kernels on TPU
+    # rematerialize the generator/discriminator sub-passes in the fused step
+    # (jax.checkpoint): recompute activations in the backward instead of
+    # storing them — trades MXU headroom for HBM traffic on a
+    # bandwidth-bound step (docs/PERF.md roofline)
+    remat: bool = False
     # zero-egress fallback: when vgg_w > 0 but no converted weights exist,
     # use random-init VGG features so the training recipe (loss graph + cost)
     # still matches the reference (configs/celeba_faces.yaml:34 vgg_w: 0.1)

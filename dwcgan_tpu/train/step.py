@@ -76,6 +76,21 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
     def d_apply(p, x, multiscale=True):
         return dis.apply({"params": p}, x, multiscale)
 
+    if cfg.remat:
+        # recompute sub-pass activations in the backward instead of saving
+        # them: the step is HBM-bandwidth-heavy (PERF.md roofline) while the
+        # MXU has headroom, so trading FLOPs for traffic can pay
+        g_encode = jax.checkpoint(g_encode)
+        g_decode = jax.checkpoint(g_decode)
+        g_txt = jax.checkpoint(g_txt)
+        _d_plain = d_apply
+        _d_remat = jax.checkpoint(lambda p, x: _d_plain(p, x, True))
+
+        def d_apply(p, x, multiscale=True):
+            # single-scale callers are the R1/GP penalty paths (grad-of-grad
+            # through D w.r.t. the image) — leave those un-remat'ed
+            return _d_remat(p, x) if multiscale else _d_plain(p, x, False)
+
     # ---- pass batching ----
     # The reference runs 4 encoder / 5 decoder / 3 discriminator passes per G
     # step as separate module calls (SURVEY §3.2).  Every op involved is
