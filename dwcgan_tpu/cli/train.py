@@ -244,8 +244,12 @@ def main(argv=None):
                         os.path.join(img_dir, f"{tag}.jpg"))
 
     # --- loop ---
-    from dwcgan_tpu.utils.guard import FiniteGuard
+    from dwcgan_tpu.utils.guard import FiniteGuard, StallWatchdog
     guard = FiniteGuard(every=cfg.log_iter)
+    # silent-device-wedge detector (docs/PERF.md "relay wedge"): when the
+    # host blocks on a device fetch with no progress, shout with the last
+    # completed step so an operator (or supervisor) can kill + --resume 1
+    watchdog = StallWatchdog(timeout_s=300.0)
     profiler_active = False
     timer = StepTimer()
     timer.lap()
@@ -299,7 +303,11 @@ def main(argv=None):
         if (step_i + 1) % cfg.snapshot_save_iter == 0:
             ckpt.save(state)
         step_i += 1
+        # host-side beat: a wedged device blocks this loop within
+        # MAX_INFLIGHT iterations, so silence here means device stall
+        watchdog.beat(step_i)
 
+    watchdog.stop()
     if profiler_active:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile_dir}")

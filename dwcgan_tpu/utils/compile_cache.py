@@ -3,11 +3,35 @@
 First compile of the fused train step costs minutes; the on-disk cache makes
 every later process start (resume, bench, eval) near-instant.  No reference
 equivalent (torch caches nothing across runs).
+
+The cache is partitioned by a host-machine fingerprint: XLA:CPU AOT results
+encode the compiling machine's ISA features, and loading an entry compiled
+on a different CPU generation can hard-abort the process (observed: entries
+from an AVX-512/AMX host SIGILL'ed on a host without those features — the
+cpu_aot_loader only *warns* before executing).  A per-fingerprint subdir
+makes foreign entries invisible instead of fatal.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _machine_fingerprint() -> str:
+    """Stable-ish hash of the CPU's ISA surface (+arch)."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(f"{platform.machine()}|{flags}".encode()).hexdigest()
+    return digest[:12]
 
 
 def enable(cache_dir: str | None = None):
@@ -15,6 +39,7 @@ def enable(cache_dir: str | None = None):
 
     cache_dir = cache_dir or os.environ.get(
         "DWCGAN_COMPILE_CACHE", os.path.expanduser("~/.cache/dwcgan_jax_cache"))
+    cache_dir = os.path.join(cache_dir, _machine_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

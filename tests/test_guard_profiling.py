@@ -56,3 +56,27 @@ def test_profiling_annotate():
     with annotate("test-region"):
         x = jnp.ones((4,)) * 2
     assert float(x.sum()) == 8.0
+
+
+def test_stall_watchdog_fires_and_silences():
+    import io
+    import time as _time
+
+    from dwcgan_tpu.utils.guard import StallWatchdog
+
+    buf = io.StringIO()
+    wd = StallWatchdog(timeout_s=0.3, out=buf)
+    # heartbeats keep it quiet
+    for _ in range(4):
+        wd.beat(1)
+        _time.sleep(0.1)
+    assert wd.stall_warnings == 0
+    # silence trips it (repeatedly)
+    _time.sleep(1.0)
+    assert wd.stall_warnings >= 1
+    out = buf.getvalue()
+    assert "NO PROGRESS" in out and "last completed step: 1" in out
+    wd.stop()
+    n = wd.stall_warnings
+    _time.sleep(0.6)
+    assert wd.stall_warnings == n  # stopped: no further warnings
