@@ -52,7 +52,9 @@ def main(argv=None):
     vocab = Vocab(cfg.dataset)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), vocab.size)
-    state = CheckpointManager(args.checkpoint).restore(state)
+    mgr = CheckpointManager(args.checkpoint)
+    state = mgr.restore(state)
+    mgr.close()
     params = state.ema_gen_params if args.use_ema else state.gen_params
     gen, _ = build_models(cfg, vocab.size)
     infer_fn = jax.jit(make_infer_fn(cfg, gen))

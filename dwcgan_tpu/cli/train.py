@@ -311,7 +311,18 @@ def main(argv=None):
     if profiler_active:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile_dir}")
-    ckpt.save(state, wait=True)
+    # final snapshot: drain any in-flight async save first, and skip when the
+    # loop already saved this exact step — a second save of the same step
+    # racing the un-finalized async one collides in the checkpoint layer
+    # (observed as a native abort in a background save thread)
+    ckpt.wait()
+    if ckpt.latest_step() is None or ckpt.latest_step() < step_i:
+        ckpt.save(state, wait=True)
+    # release the manager's background threads: a lingering async committer
+    # from a finished run aborts the process when another manager saves
+    # later in the same interpreter (observed as a native Fatal abort in
+    # back-to-back CLI runs under one pytest process)
+    ckpt.close()
     writer.close()
     print("Finish training")
 

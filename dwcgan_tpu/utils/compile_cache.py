@@ -34,9 +34,32 @@ def _machine_fingerprint() -> str:
     return digest[:12]
 
 
-def enable(cache_dir: str | None = None):
+def _cpu_backend_selected() -> bool:
+    """True when jax is (or will be) running on the CPU backend, decided
+    WITHOUT initializing the backend."""
     import jax
 
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    first = plats.split(",")[0].strip().lower() if plats else ""
+    return first == "cpu"
+
+
+def enable(cache_dir: str | None = None):
+    """Enable the persistent cache — accelerator backends only.
+
+    XLA:CPU persistence is DISABLED: its AOT loader compares the entry's
+    compile-time feature string (which contains synthetic tuning flags like
+    `+prefer-no-scatter`) against host CPUID features, warns about a
+    "machine mismatch" even for entries this very machine wrote, and the
+    deserialized executable then aborts the process nondeterministically
+    mid-execution (reproduced: `Fatal Python error: Aborted` with the
+    cpu_aot_loader E-line in back-to-back CLI runs on the 8-device virtual
+    mesh).  Fresh CPU compiles are correct; only reloads are poisoned.
+    """
+    import jax
+
+    if _cpu_backend_selected():
+        return
     cache_dir = cache_dir or os.environ.get(
         "DWCGAN_COMPILE_CACHE", os.path.expanduser("~/.cache/dwcgan_jax_cache"))
     cache_dir = os.path.join(cache_dir, _machine_fingerprint())

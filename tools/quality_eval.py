@@ -148,6 +148,7 @@ def main(argv=None):
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    mgr.close()
     with open(os.path.join(args.out, "quality_trend.json"), "w") as f:
         json.dump({"n_eval": n, "inception": "random-weights seed 0",
                    "results": results}, f, indent=1)
