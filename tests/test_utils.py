@@ -53,3 +53,22 @@ def test_timers():
     st = StepTimer()
     st.lap()
     assert st.lap() >= 0.0
+
+
+def test_compile_cache_disabled_on_cpu(monkeypatch):
+    """XLA:CPU persistent-cache reloads corrupt executables (PERF.md); the
+    cache must stay OFF whenever the CPU backend is selected."""
+    import jax
+
+    from dwcgan_tpu.utils import compile_cache as cc
+
+    # this test session runs on the forced-CPU backend (conftest)
+    assert cc._cpu_backend_selected()
+    before = jax.config.jax_compilation_cache_dir
+    cc.enable()
+    assert jax.config.jax_compilation_cache_dir == before  # no-op on CPU
+
+    # fingerprint is stable and path-safe
+    fp = cc._machine_fingerprint()
+    assert fp == cc._machine_fingerprint()
+    assert len(fp) == 12 and fp.isalnum()
