@@ -7,14 +7,15 @@ compute, synthetic batches (the reference trains on 128px CelebA; image
 content does not affect throughput).
 
 vs_baseline: the reference publishes NO numbers (BASELINE.md) and no GPU
-exists in this environment.  The denominator is therefore MEASURED: the
-actual reference implementation (imported from /root/reference, executed
-unchanged) timed on this host's CPU via tools/bench_reference.py, recorded
-in tools/baseline_measured.json.  vs_baseline = our TPU-chip throughput /
-the reference's measured throughput on the only hardware it can run on
-here; PERF.md additionally reports the same-hardware (CPU vs CPU)
-framework ratio.  If the measured file is absent we fall back to the
-round-1 documented GPU estimate (batch 1 at ~0.35 s/iter => 2.86 img/s).
+exists in this environment, so the PRIMARY ratio reported is the
+same-hardware framework ratio — both frameworks measured on this host's
+CPU (tools/bench_reference.py executes the reference unchanged from
+/root/reference; tools/baseline_measured.json records both).  The
+cross-hardware ratio (our TPU chip vs the reference on one CPU core, the
+only hardware it runs on here) is emitted as context under
+`vs_reference_cross_hardware`, with the denominator's provenance inline.
+If the measured file is absent we fall back to the round-1 documented GPU
+estimate (batch 1 at ~0.35 s/iter => 2.86 img/s).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,20 +30,49 @@ REFERENCE_IMGS_PER_SEC_ESTIMATE = 2.86        # full train step, batch 1 (GPU es
 REFERENCE_INFER_IMGS_PER_SEC_ESTIMATE = 30.0  # forward-only translation, batch 1
 
 
-def reference_denominator() -> float:
-    """Measured reference-torch throughput (img/s) if available, else the
-    documented estimate."""
+def _measured_rows():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "baseline_measured.json")
     try:
         with open(path) as f:
-            data = json.load(f)
-        rows = [r for r in data.values() if r.get("impl") == "reference-torch"]
-        if rows:
-            return max(r["images_per_sec"] for r in rows)
+            return list(json.load(f).values())
     except Exception:
-        pass
-    return REFERENCE_IMGS_PER_SEC_ESTIMATE
+        return []
+
+
+def _best_match(rows, impl, vgg):
+    """Pick the measured row for `impl` matching this bench's vgg setting
+    (preferring the closest batch), so a later re-measurement at different
+    settings cannot silently change the headline ratio (ADVICE r2)."""
+    cand = [r for r in rows if r.get("impl") == impl and r.get("vgg") == vgg]
+    if not cand:
+        cand = [r for r in rows if r.get("impl") == impl]
+    return min(cand, key=lambda r: abs(r.get("batch", 0) - 8)) if cand else None
+
+
+def reference_denominator(vgg: bool):
+    """(img/s, provenance dict) of the measured reference-torch run, else
+    the documented estimate."""
+    row = _best_match(_measured_rows(), "reference-torch", vgg)
+    if row:
+        prov = {k: row[k] for k in ("impl", "device", "batch",
+                                    "images_per_sec", "vgg") if k in row}
+        return row["images_per_sec"], prov
+    return REFERENCE_IMGS_PER_SEC_ESTIMATE, {
+        "impl": "reference-torch", "device": "gpu-estimate",
+        "images_per_sec": REFERENCE_IMGS_PER_SEC_ESTIMATE}
+
+
+def same_hardware_ratio(vgg: bool):
+    """Framework-vs-framework ratio on IDENTICAL hardware (both on this
+    host's CPU, tools/bench_reference.py) — the decision-grade comparison;
+    the TPU-vs-CPU ratio conflates hardware with framework."""
+    rows = _measured_rows()
+    ours = _best_match(rows, "dwcgan_tpu-jax", vgg)
+    ref = _best_match(rows, "reference-torch", vgg)
+    if ours and ref and ref["images_per_sec"] > 0:
+        return round(ours["images_per_sec"] / ref["images_per_sec"], 3)
+    return None
 
 
 def main():
@@ -122,11 +152,23 @@ def main():
     imgs_per_sec = batch_size / dt
     imgs_per_sec_per_chip = imgs_per_sec / n_dev
 
+    # vs_baseline = framework ratio on IDENTICAL hardware (this host's CPU;
+    # tools/baseline_measured.json) — the honest comparison.  The
+    # cross-hardware ratio (our TPU chip / reference on this host's one CPU
+    # core, the only hardware the reference runs on here) is reported
+    # separately with its denominator's provenance.
+    ref_img_s, prov = reference_denominator(use_vgg)
+    same_hw = same_hardware_ratio(use_vgg)
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_128px",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / reference_denominator(), 2),
+        "vs_baseline": same_hw if same_hw is not None
+        else round(imgs_per_sec_per_chip / ref_img_s, 2),
+        "vs_baseline_kind": "same_hardware_framework_ratio_cpu"
+        if same_hw is not None else "cross_hardware_ratio",
+        "vs_reference_cross_hardware": round(imgs_per_sec_per_chip / ref_img_s, 2),
+        "reference_denominator": prov,
     }))
 
 

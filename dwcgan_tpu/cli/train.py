@@ -264,67 +264,75 @@ def main(argv=None):
     import collections
     MAX_INFLIGHT = 8
     inflight = collections.deque()
-    for batch in pipe:
-        if step_i >= cfg.max_iter:
-            break
-        if len(inflight) >= MAX_INFLIGHT:
-            jax.device_get(inflight.popleft())
-        if args.profile_dir and step_i == 10 and not profiler_active:
-            jax.profiler.start_trace(args.profile_dir)
-            profiler_active = True
-        state, metrics = train_step(state, shard_batch(batch, mesh))
-        inflight.append(metrics["loss_gen_total"])
-        if profiler_active and step_i >= 20:
-            jax.device_get(metrics["loss_gen_total"])
+    # try/finally: FiniteGuard raising on NaN (its designed tripwire path)
+    # or any loop exception must still stop the watchdog thread, drain and
+    # close the async checkpoint manager, and close the writer — a lingering
+    # async committer aborts the process when another manager saves later in
+    # the same interpreter (ADVICE r2; observed as native Fatal aborts)
+    try:
+        for batch in pipe:
+            if step_i >= cfg.max_iter:
+                break
+            if len(inflight) >= MAX_INFLIGHT:
+                jax.device_get(inflight.popleft())
+            if args.profile_dir and step_i == 10 and not profiler_active:
+                jax.profiler.start_trace(args.profile_dir)
+                profiler_active = True
+            state, metrics = train_step(state, shard_batch(batch, mesh))
+            inflight.append(metrics["loss_gen_total"])
+            if profiler_active and step_i >= 20:
+                jax.device_get(metrics["loss_gen_total"])
+                jax.profiler.stop_trace()
+                profiler_active = False
+                print(f"profiler trace written to {args.profile_dir}")
+            # NaN tripwire (fetches scalars only on its `every` cadence)
+            guard.check(step_i + 1, metrics, checkpoint=ckpt, state=state)
+
+            if (step_i + 1) % cfg.log_iter == 0:
+                dt = timer.lap(metrics["loss_gen_total"])
+                sps = cfg.log_iter / dt if dt > 0 else 0.0
+                writer.write(step_i + 1, {**metrics,
+                                          "steps_per_sec": sps,
+                                          "images_per_sec": sps * cfg.batch_size})
+                print(f"Iteration: {step_i + 1:08d}/{cfg.max_iter:08d} "
+                      f"gen {float(metrics['loss_gen_total']):.4f} "
+                      f"dis {float(metrics['loss_dis_all']):.4f} "
+                      f"lr {float(metrics['lr']):.6g} {sps:.2f} it/s")
+
+            if (step_i + 1) % cfg.image_display_iter == 0:
+                render("train_current", step_i)
+            if (step_i + 1) % cfg.image_save_iter == 0:
+                render(f"test_{step_i + 1:08d}", step_i)
+                render(f"train_{step_i + 1:08d}", step_i, train=True)
+                write_html_gallery(os.path.join(out_dir, "index.html"),
+                                   step_i + 1, cfg.image_save_iter)
+            if (step_i + 1) % cfg.snapshot_save_iter == 0:
+                ckpt.save(state)
+            step_i += 1
+            # host-side beat: a wedged device blocks this loop within
+            # MAX_INFLIGHT iterations, so silence here means device stall
+            watchdog.beat(step_i)
+
+        # final snapshot (clean exit only — a FiniteGuard trip means the
+        # state may be poisoned and must NOT be saved): drain any in-flight
+        # async save first, and skip when the loop already saved this exact
+        # step — a second save of the same step racing the un-finalized
+        # async one collides in the checkpoint layer
+        ckpt.wait()
+        if ckpt.latest_step() is None or ckpt.latest_step() < step_i:
+            ckpt.save(state, wait=True)
+        print("Finish training")
+    finally:
+        watchdog.stop()
+        if profiler_active:
             jax.profiler.stop_trace()
-            profiler_active = False
             print(f"profiler trace written to {args.profile_dir}")
-        # NaN tripwire (fetches scalars only on its `every` cadence)
-        guard.check(step_i + 1, metrics, checkpoint=ckpt, state=state)
-
-        if (step_i + 1) % cfg.log_iter == 0:
-            dt = timer.lap(metrics["loss_gen_total"])
-            sps = cfg.log_iter / dt if dt > 0 else 0.0
-            writer.write(step_i + 1, {**metrics,
-                                      "steps_per_sec": sps,
-                                      "images_per_sec": sps * cfg.batch_size})
-            print(f"Iteration: {step_i + 1:08d}/{cfg.max_iter:08d} "
-                  f"gen {float(metrics['loss_gen_total']):.4f} "
-                  f"dis {float(metrics['loss_dis_all']):.4f} "
-                  f"lr {float(metrics['lr']):.6g} {sps:.2f} it/s")
-
-        if (step_i + 1) % cfg.image_display_iter == 0:
-            render("train_current", step_i)
-        if (step_i + 1) % cfg.image_save_iter == 0:
-            render(f"test_{step_i + 1:08d}", step_i)
-            render(f"train_{step_i + 1:08d}", step_i, train=True)
-            write_html_gallery(os.path.join(out_dir, "index.html"), step_i + 1,
-                               cfg.image_save_iter)
-        if (step_i + 1) % cfg.snapshot_save_iter == 0:
-            ckpt.save(state)
-        step_i += 1
-        # host-side beat: a wedged device blocks this loop within
-        # MAX_INFLIGHT iterations, so silence here means device stall
-        watchdog.beat(step_i)
-
-    watchdog.stop()
-    if profiler_active:
-        jax.profiler.stop_trace()
-        print(f"profiler trace written to {args.profile_dir}")
-    # final snapshot: drain any in-flight async save first, and skip when the
-    # loop already saved this exact step — a second save of the same step
-    # racing the un-finalized async one collides in the checkpoint layer
-    # (observed as a native abort in a background save thread)
-    ckpt.wait()
-    if ckpt.latest_step() is None or ckpt.latest_step() < step_i:
-        ckpt.save(state, wait=True)
-    # release the manager's background threads: a lingering async committer
-    # from a finished run aborts the process when another manager saves
-    # later in the same interpreter (observed as a native Fatal abort in
-    # back-to-back CLI runs under one pytest process)
-    ckpt.close()
-    writer.close()
-    print("Finish training")
+        # release the manager's background threads even on the exception path
+        try:
+            ckpt.wait()
+        finally:
+            ckpt.close()
+            writer.close()
 
 
 if __name__ == "__main__":

@@ -56,6 +56,16 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
     None the vgg term is statically off (reference gates on vgg_w > 0 and
     model availability, solver.py:79-83).
     """
+    # pass batching (below) concatenates independent passes along the batch
+    # axis, which is exact only for per-sample ops; 'bn' computes batch-axis
+    # statistics and would silently mix real/fake stats in the fused 3n D
+    # pass.  No shipped config uses 'bn' — reject it loudly (ADVICE r2).
+    if cfg.dis.norm == "bn":
+        raise ValueError(
+            "dis.norm='bn' is incompatible with the pass-batched fused step: "
+            "batch-norm statistics would mix real/fake samples in the "
+            "concatenated discriminator pass. Use 'none'/'in'/'ln' (the "
+            "reference flagship uses 'none', configs/celeba_faces.yaml).")
     K, C = cfg.gen.num_cls, cfg.c_dim
     stddev = cfg.stddev
     sigma_sq = cfg.stddev ** 2

@@ -34,14 +34,24 @@ def _machine_fingerprint() -> str:
     return digest[:12]
 
 
-def _cpu_backend_selected() -> bool:
-    """True when jax is (or will be) running on the CPU backend, decided
-    WITHOUT initializing the backend."""
+def _platforms_are_accelerator(plats: str | None) -> bool:
+    """True only for an explicit non-CPU first platform.
+
+    'Platform unset' counts as unsafe: on a host with no accelerator JAX
+    silently falls back to XLA:CPU, whose persistent-cache reloads can abort
+    the process (see :func:`enable`).  Requiring an explicit accelerator
+    selection means the fallback path never re-enables CPU persistence."""
+    first = plats.split(",")[0].strip().lower() if plats else ""
+    return bool(first) and first != "cpu"
+
+
+def _accelerator_backend_selected() -> bool:
+    """Explicit non-CPU platform selection, decided WITHOUT initializing
+    the backend."""
     import jax
 
     plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    first = plats.split(",")[0].strip().lower() if plats else ""
-    return first == "cpu"
+    return _platforms_are_accelerator(plats)
 
 
 def enable(cache_dir: str | None = None):
@@ -58,7 +68,7 @@ def enable(cache_dir: str | None = None):
     """
     import jax
 
-    if _cpu_backend_selected():
+    if not _accelerator_backend_selected():
         return
     cache_dir = cache_dir or os.environ.get(
         "DWCGAN_COMPILE_CACHE", os.path.expanduser("~/.cache/dwcgan_jax_cache"))

@@ -21,12 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent compile cache: the suite's wall-clock is dominated by XLA
-# compiles of the fused train step (VERDICT r1 weak #4); cached re-runs of
-# identical programs skip compilation entirely.
-from dwcgan_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
-
-_enable_cache()
+# NOTE: the persistent compile cache is deliberately NOT enabled here.
+# XLA:CPU persistent-cache reloads corrupt executables (nondeterministic
+# native aborts — see utils/compile_cache.py), so compile_cache.enable() is
+# a no-op on the CPU backend this suite forces (pinned by
+# tests/test_utils.py::test_compile_cache_disabled_on_cpu); the suite pays
+# fresh compiles by design.
 
 
 def pytest_configure(config):

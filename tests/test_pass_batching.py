@@ -96,3 +96,21 @@ def test_discriminator_batching_is_exact():
                 np.asarray(src_b[2 * i:2 * i + 2]), np.asarray(sep[i][scale][0]))
             assert_close(
                 np.asarray(cls_b[2 * i:2 * i + 2]), np.asarray(sep[i][scale][1]))
+
+
+def test_bn_rejected_by_fused_step():
+    """'bn' computes batch-axis statistics, which pass batching would mix
+    across real/fake samples in the 3n discriminator pass — make_train_step
+    must reject it loudly (ADVICE r2)."""
+    import pytest
+
+    from dwcgan_tpu.train.state import make_optimizer
+    from dwcgan_tpu.train.step import make_train_step
+
+    cfg = _cfg()
+    cfg.dis.norm = "bn"
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 102)
+    gen, dis = build_models(cfg, 102)
+    tx = make_optimizer(cfg, state.gen_params)
+    with pytest.raises(ValueError, match="bn"):
+        make_train_step(cfg, gen, dis, tx, tx)

@@ -57,16 +57,27 @@ def test_timers():
 
 def test_compile_cache_disabled_on_cpu(monkeypatch):
     """XLA:CPU persistent-cache reloads corrupt executables (PERF.md); the
-    cache must stay OFF whenever the CPU backend is selected."""
+    cache must stay OFF whenever the CPU backend is selected — and also when
+    no platform is selected at all (JAX would silently fall back to CPU on
+    an accelerator-less host; ADVICE r2)."""
     import jax
 
     from dwcgan_tpu.utils import compile_cache as cc
 
     # this test session runs on the forced-CPU backend (conftest)
-    assert cc._cpu_backend_selected()
+    assert not cc._accelerator_backend_selected()
     before = jax.config.jax_compilation_cache_dir
     cc.enable()
     assert jax.config.jax_compilation_cache_dir == before  # no-op on CPU
+
+    # platform unset => unsafe (possible CPU fallback) => stays off
+    assert not cc._platforms_are_accelerator(None)
+    assert not cc._platforms_are_accelerator("")
+    assert not cc._platforms_are_accelerator("cpu")
+    assert not cc._platforms_are_accelerator("cpu,tpu")
+    # explicit accelerator => cache allowed
+    assert cc._platforms_are_accelerator("tpu")
+    assert cc._platforms_are_accelerator("axon")
 
     # fingerprint is stable and path-safe
     fp = cc._machine_fingerprint()
