@@ -161,6 +161,13 @@ class Config:
     d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
     ckpt_keep: int = 5             # orbax max_to_keep (reference keeps all)
     use_pallas: bool = True        # fused Pallas instance-norm kernels on TPU
+    # share ONE generator forward between the D and G phases of the fused
+    # step (n_critic == 1 only): D consumes stop-gradient'ed fakes from the
+    # same forward whose vjp later backs G's update, instead of recomputing
+    # encode + text-encode + a 2n decode with fresh dropout/style draws the
+    # way the reference does (solver.py:320-331 vs :151-209).  Deliberate
+    # deviation: D sees the *same* fake realizations G trains on that step.
+    fuse_gd_forward: bool = True
     # rematerialize the generator/discriminator sub-passes in the fused step
     # (jax.checkpoint): recompute activations in the backward instead of
     # storing them — trades MXU headroom for HBM traffic on a

@@ -18,12 +18,14 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from dwcgan_tpu.config import GenConfig
-from dwcgan_tpu.ops.blocks import AdaINResBlocks, Conv2dBlock, MLP, ResBlocks, make_initializer
+from dwcgan_tpu.ops.blocks import (
+    AdaINResBlocks, Conv2dBlock, MLP, ResBlocks, make_initializer, pad2d)
 from dwcgan_tpu.ops.lstm import MaskedBiLSTM
 from dwcgan_tpu.ops.resize import upsample2x
 
@@ -201,9 +203,48 @@ class TxtEncoder(nn.Module):
                          deterministic)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-compatible stand-in for a Conv2dBlock's inner nn.Conv:
+    declares `Conv_0/{kernel,bias}` at the same tree path and just returns
+    them, so callers can fuse several logical convs into one launch without
+    changing the checkpoint/torch-import layout."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    kernel_init: callable
+
+    class _KB(nn.Module):
+        features: int
+        kernel_size: int
+        in_features: int
+        kernel_init: callable
+
+        @nn.compact
+        def __call__(self):
+            k = self.param("kernel", self.kernel_init,
+                           (self.kernel_size, self.kernel_size,
+                            self.in_features, self.features), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            return k, b
+
+    @nn.compact
+    def __call__(self):
+        return self._KB(self.features, self.kernel_size, self.in_features,
+                        self.kernel_init, name="Conv_0")()
+
+
 class Decoder(nn.Module):
     """AdaIN resblocks -> bilinear-upsample conv stages -> image + attention
-    heads (reference Decoder, networks_v2.py:144-169)."""
+    heads (reference Decoder, networks_v2.py:144-169).
+
+    TPU note: with attention on, the two 7x7 heads (C_out=3 image, C_out=1
+    attention — both MXU-hostile channel counts) are computed as ONE
+    4-channel convolution from concatenated kernels; profiling showed the
+    separate tiny-channel convs and their input/weight gradients costing
+    ~15 ms/step at 2-11 TF/s (tools/profile_results.json).  The parameter
+    tree is unchanged (`image_head/Conv_0`, `attention_head/Conv_0`)."""
 
     dim: int                      # input channels (content code dim)
     out_dim: int = 3
@@ -235,15 +276,27 @@ class Decoder(nn.Module):
             d //= 2
             x = Conv2dBlock(d, 5, 1, 2, norm="ln", use_pallas=self.use_pallas,
                             **kw)(x)
-        image = Conv2dBlock(self.out_dim, 7, 1, 3, norm="none", activ="tanh",
-                            pad_type=self.pad_type, dtype=self.dtype,
-                            kernel_init=self.kernel_init, name="image_head")(x)
-        attention = None
-        if self.use_attention:
-            attention = Conv2dBlock(1, 7, 1, 3, norm="none", activ="sigmoid",
-                                    pad_type=self.pad_type, dtype=self.dtype,
-                                    kernel_init=self.kernel_init,
-                                    name="attention_head")(x)
+        if not self.use_attention:
+            image = Conv2dBlock(self.out_dim, 7, 1, 3, norm="none",
+                                activ="tanh", pad_type=self.pad_type,
+                                dtype=self.dtype, kernel_init=self.kernel_init,
+                                name="image_head")(x)
+            return image, None
+
+        # fused heads: one [7,7,d,out_dim+1] conv (see class docstring);
+        # per-output-channel conv math is independent, so this is exact
+        ik, ib = _ConvParams(self.out_dim, 7, d, self.kernel_init,
+                             name="image_head")()
+        ak, ab = _ConvParams(1, 7, d, self.kernel_init,
+                             name="attention_head")()
+        k = jnp.concatenate([ik, ak], axis=-1).astype(self.dtype)
+        b = jnp.concatenate([ib, ab], axis=0).astype(self.dtype)
+        xp = pad2d(x, 3, self.pad_type).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            xp, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        image = jnp.tanh(out[..., :self.out_dim])
+        attention = jax.nn.sigmoid(out[..., self.out_dim:])
         return image, attention
 
 

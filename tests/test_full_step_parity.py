@@ -1,0 +1,163 @@
+"""Full-training-step loss parity against the torch reference (capstone).
+
+Per-module equivalence (tests/test_torch_import.py) and per-loss oracle
+tests (tests/test_losses.py) never exercised the *composition*.  This test
+runs the reference's actual `dis_update` + `gen_update`
+(`/root/reference/solver.py:317-353, 151-240`) on CPU with:
+
+- identical imported weights (via dwcgan_tpu.interop),
+- an identical batch (image, labels, command tokens),
+- dropout off on both sides (torch `.eval()` / our `_deterministic=True`),
+- identical INJECTED Gaussian style draws (both sides' samplers patched
+  with the same fixed arrays),
+
+and compares every loss term of one fused `make_train_step` invocation
+against the reference's loss attributes — within fp32 tolerance.  With the
+real CelebA data and FID weights env-blocked, this is the strongest
+"matches the reference" statement this environment can produce: it would
+catch any blend-ordering, detach-placement, or weight-application bug the
+per-module tests cannot (VERDICT r2 missing #1).
+
+Sequencing note: the reference draws styles three times per iteration
+(dis_update once, gen_update twice); the fused step's shared-G-forward
+path draws twice and feeds D the same fakes.  Injecting the sequence
+[s1, s1, s2] into torch and [s1, s2] into ours makes the two computations
+coincide — and thereby validates the shared-forward deviation directly
+against the reference's math.
+
+Batch size is 1 because the reference's TxtEncoder head-concat is only
+well-defined there (networks_v2.py:249 interleaves the batch at N > 1) —
+and 1 is the reference's actual training batch (configs/celeba_faces.yaml:13).
+"""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import dwcgan_tpu.train.step as step_mod
+from dwcgan_tpu.config import load_config
+from dwcgan_tpu.data.pipeline import Batch
+from dwcgan_tpu.interop.torch_import import (
+    convert_reference_discriminator, convert_reference_generator,
+)
+from dwcgan_tpu.train.state import build_models, create_train_state, make_optimizer
+
+pytestmark = pytest.mark.slow
+
+# our metric key -> reference Solver attribute
+_TERMS = {
+    "loss_dis": "loss_dis",
+    "loss_dis_all": "loss_dis_all",
+    "loss_gen_recon_x": "loss_gen_recon_x",
+    "loss_gen_recon_c_real": "loss_gen_recon_c_real",
+    "loss_gen_recon_c_fake": "loss_gen_recon_c_fake",
+    "loss_gen_recon_c_rand": "loss_gen_recon_c_rand",
+    "loss_gen_recon_s_real": "loss_gen_recon_s_real",
+    "loss_gen_recon_s_fake": "loss_gen_recon_s_fake",
+    "loss_gen_recon_s_rand": "loss_gen_recon_s_rand",
+    "loss_gen_cycrecon_x": "loss_gen_cycrecon_x",
+    "loss_kl_x": "loss_kl_x",
+    "loss_kl_trg": "loss_kl_trg",
+    "loss_ds": "loss_ds",
+    "loss_gen_adv": "loss_gen_adv",
+    "loss_gen_total": "loss_gen_total",
+}
+
+
+def test_full_step_loss_parity(monkeypatch):
+    sys.path.insert(0, "/root/reference")
+    try:
+        import solver as ref_solver_mod
+        from solver import Solver
+    finally:
+        sys.path.remove("/root/reference")
+
+    with open("/root/reference/configs/celeba_faces.yaml") as f:
+        raw = yaml.safe_load(f)
+    raw["vgg_w"] = 0.0       # real VGG weights are env-blocked on both sides
+    raw["gp_w"] = 0.0
+    raw["use_r1"] = False
+
+    torch.manual_seed(0)
+    trainer = Solver(raw, torch.device("cpu"), None)
+    trainer.copy_nets()
+    trainer.gen.eval()       # dropout off; IN/AdaIN are mode-independent
+    trainer.dis.eval()
+    trainer.update_attention_status(0)   # blending off below iter 10000
+
+    # ---- identical batch ----
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+    lbl_src = rng.integers(0, 2, (1, 8)).astype(np.float32)
+    lbl_trg = rng.integers(0, 2, (1, 8)).astype(np.float32)
+    toks = np.zeros((1, 82), np.int32)
+    toks[0, :25] = rng.integers(4, 100, 25)
+    lens = np.array([25], np.int32)
+
+    # ---- identical injected Gaussian style draws ----
+    s1 = rng.normal(size=(1, 64)).astype(np.float32)
+    s2 = rng.normal(size=(1, 64)).astype(np.float32)
+
+    t_seq = iter([s1, s1, s2])           # dis draw, gen draw 1, gen draw 2
+    monkeypatch.setattr(
+        ref_solver_mod, "dist_sampling_split",
+        lambda c_trg, c_dim, stddev, device: torch.from_numpy(next(t_seq)))
+
+    j_seq = iter([s1, s2])               # shared forward: two draws total
+    import jax.numpy as jnp
+    monkeypatch.setattr(
+        step_mod, "sample_style",
+        lambda key, c_trg, c_dim, stddev: jnp.asarray(next(j_seq)))
+
+    # ---- torch: one dis_update + one gen_update ----
+    x_t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    c_src_t = torch.from_numpy(lbl_src * 2.0 - 1.0)
+    c_trg_t = torch.from_numpy(lbl_trg * 2.0 - 1.0)
+    txt_t = torch.from_numpy(toks.astype(np.int64))
+    lens_t = torch.from_numpy(lens.astype(np.int64))
+    l_src_t = torch.from_numpy(lbl_src)
+    l_trg_t = torch.from_numpy(lbl_trg)
+    trainer.dis_update(x_t, c_src_t, c_trg_t, txt_t, lens_t,
+                       l_src_t, l_trg_t, raw, 0)
+    trainer.gen_update(x_t, c_src_t, c_trg_t, txt_t, lens_t,
+                       l_src_t, l_trg_t, raw, 0)
+    ref = {k: float(getattr(trainer, a)) for k, a in _TERMS.items()}
+
+    # ---- ours: one fused step (shared G forward), eager (no jit) ----
+    cfg = load_config("/root/reference/configs/celeba_faces.yaml")
+    cfg.vgg_w = 0.0
+    cfg.gp_w = 0.0
+    cfg.use_r1 = False
+    cfg.batch_size = 1
+    cfg.compute_dtype = "float32"
+    cfg.use_pallas = False
+    assert cfg.n_critic == 1 and cfg.fuse_gd_forward
+
+    gp = convert_reference_generator(trainer.gen.state_dict(), cfg.gen,
+                                     vocab_size=102)["params"]
+    dp = convert_reference_discriminator(trainer.dis.state_dict(),
+                                         cfg.dis)["params"]
+    state = create_train_state(cfg, jax.random.PRNGKey(0), 102)
+    state = state.replace(gen_params=gp, dis_params=dp,
+                          ema_gen_params=gp, ema_dis_params=dp)
+    gen, dis = build_models(cfg, 102)
+    gen_tx = make_optimizer(cfg, state.gen_params)
+    dis_tx = make_optimizer(cfg, state.dis_params)
+    step_fn = step_mod.make_train_step(cfg, gen, dis, gen_tx, dis_tx,
+                                       _deterministic=True)
+    batch = Batch(image=jnp.asarray(x), src_label=jnp.asarray(lbl_src),
+                  trg_label=jnp.asarray(lbl_trg), txt=jnp.asarray(toks),
+                  txt_len=jnp.asarray(lens))
+    _, metrics = step_fn(state, batch)
+
+    errs = []
+    for k in _TERMS:
+        ours, theirs = float(metrics[k]), ref[k]
+        tol = 2e-3 + 5e-3 * abs(theirs)
+        if abs(ours - theirs) > tol:
+            errs.append(f"{k}: ours={ours:.6f} ref={theirs:.6f}")
+    assert not errs, "loss terms diverge:\n" + "\n".join(errs)

@@ -205,3 +205,55 @@ def test_attention_gate_uses_step():
     state, m = step_fn(state, device_batch(cfg, mesh, seed=1))
     assert int(state.step) == 10001
     assert np.isfinite(float(m["loss_gen_total"]))
+
+
+def test_shared_forward_matches_manual_composition():
+    """The shared-forward step (one G forward; D on stop-gradient'ed shared
+    fakes; G's adversarial head pulled back through the saved vjp) must
+    produce the same updated parameters and metrics as the direct
+    value_and_grad of the full composition with identical keys — pinning
+    the chain-rule composition and the key discipline (VERDICT r2 item 2)."""
+    cfg = tiny_cfg()
+    assert cfg.fuse_gd_forward and cfg.n_critic == 1
+    mesh = create_mesh()
+
+    results = []
+    for direct in (False, True):
+        state = create_train_state(cfg, jax.random.PRNGKey(5), vocab_size=102)
+        gen, dis = build_models(cfg, 102)
+        gen_tx = make_optimizer(cfg, state.gen_params)
+        dis_tx = make_optimizer(cfg, state.dis_params)
+        step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx,
+                                          _shared_direct=direct),
+                          donate_argnums=0)
+        state = place_state(state, mesh)
+        state, metrics = step_fn(state, device_batch(cfg, mesh, seed=11))
+        results.append((jax.tree_util.tree_map(np.asarray, state.gen_params),
+                        jax.tree_util.tree_map(np.asarray, state.dis_params),
+                        {k: float(v) for k, v in metrics.items()}))
+
+    (gp_v, dp_v, m_v), (gp_d, dp_d, m_d) = results
+    for k in m_v:
+        np.testing.assert_allclose(m_v[k], m_d[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(gp_v),
+                    jax.tree_util.tree_leaves(gp_d)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(dp_v),
+                    jax.tree_util.tree_leaves(dp_d)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_shared_forward_toggle_changes_d_fakes_only_in_distribution():
+    """fuse_gd_forward off => reference-style independent D forward; the
+    step still runs and trains.  (The two modes draw different fake
+    realizations for D by design, so only finiteness/movement is pinned.)"""
+    cfg = tiny_cfg(fuse_gd_forward=False)
+    mesh = create_mesh()
+    state, step_fn = make_everything(cfg)
+    state = place_state(state, mesh)
+    g0 = jax.tree_util.tree_map(np.asarray, state.gen_params)
+    state, m = step_fn(state, device_batch(cfg, mesh, seed=0))
+    assert np.isfinite(float(m["loss_gen_total"]))
+    assert np.isfinite(float(m["loss_dis_all"]))
+    assert _leaf_delta(state.gen_params, g0) > 0
