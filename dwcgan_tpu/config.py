@@ -160,7 +160,14 @@ class Config:
     mesh_model: int = 1            # model/tensor-parallel axis size
     d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
     ckpt_keep: int = 5             # orbax max_to_keep (reference keeps all)
-    use_pallas: bool = True        # fused Pallas instance-norm kernels on TPU
+    # Fused Pallas instance/layer-norm kernels (ops/pallas/norm_kernels.py).
+    # Default OFF: the round-3 A/B at batch 32 measured 136.2 img/s with
+    # XLA-native norms vs 130.1 with the kernels (docs/PERF.md) — XLA's own
+    # fusions beat the hand-written VMEM pass on this graph, and the 128px
+    # decoder LayerNorm exceeds the kernel's VMEM tile anyway.  Kept as an
+    # option (correctness pinned by tests/test_pallas_kernels.py) for
+    # shapes/hardware where the balance differs.
+    use_pallas: bool = False
     # share ONE generator forward between the D and G phases of the fused
     # step (n_critic == 1 only): D consumes stop-gradient'ed fakes from the
     # same forward whose vjp later backs G's update, instead of recomputing

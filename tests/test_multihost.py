@@ -19,6 +19,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -92,3 +93,117 @@ def test_two_process_shard_and_allreduce(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"child {i} OK" in out, out
+
+
+_CHILD_STEP = r"""
+import json, os, sys
+import numpy as np
+sys.path.insert(0, "__REPO__")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="localhost:" + sys.argv[2],
+                           num_processes=2, process_id=pid)
+from jax.sharding import Mesh
+from dwcgan_tpu.config import config_from_dict
+from dwcgan_tpu.data.pipeline import Batch, shard_batch, synthetic_batch
+from dwcgan_tpu.parallel.mesh import place_state
+from dwcgan_tpu.train.state import build_models, create_train_state, make_optimizer
+from dwcgan_tpu.train.step import make_train_step
+
+cfg = config_from_dict(json.loads(os.environ["DWCGAN_TEST_CFG"]))
+devs = jax.devices()
+assert len(devs) == 4 and len(jax.local_devices()) == 2
+mesh = Mesh(np.array(devs).reshape(4, 1), ("data", "model"))
+
+full = synthetic_batch(cfg.batch_size, cfg.image_size, seed=7)
+half = cfg.batch_size // 2
+local = Batch(*(np.asarray(x)[half * pid: half * (pid + 1)] for x in full))
+batch = shard_batch(local, mesh)
+
+state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
+state = place_state(state, mesh, use_tp=False)
+gen, dis = build_models(cfg, 102)
+gen_tx = make_optimizer(cfg, state.gen_params)
+dis_tx = make_optimizer(cfg, state.dis_params)
+step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+                  donate_argnums=0)
+state, metrics = step_fn(state, batch)
+out = {k: float(v) for k, v in metrics.items()}
+print("METRICS" + str(pid) + " " + json.dumps(out), flush=True)
+"""
+
+
+TINY_CFG = {
+    "batch_size": 8, "image_size": 32, "crop_size": 40,
+    "compute_dtype": "float32",
+    "gen": {"dim": 8, "mlp_dim": 16, "style_downsample": 3,
+            "content_downsample": 2, "n_res": 2, "embed_dim": 12,
+            "hidden_size": 12, "num_layers": 2},
+    "dis": {"dim": 8, "n_layer": 3, "num_scales": 2, "image_size": 32},
+}
+
+
+@pytest.mark.slow
+def test_two_process_fused_train_step(tmp_path):
+    """The FULL fused train step across 2 real processes (4-device global
+    mesh) must produce the same metrics as the identical single-process
+    4-device run — closing SURVEY §5.8's last inference gap (the fused
+    step's cross-process behavior was previously only inferred from
+    single-process multi-device runs; VERDICT r2 item 5)."""
+    import json
+
+    # --- expected: single-process 4-device run on the same global batch ---
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from dwcgan_tpu.config import config_from_dict
+    from dwcgan_tpu.data.pipeline import Batch, shard_batch, synthetic_batch
+    from dwcgan_tpu.parallel.mesh import place_state
+    from dwcgan_tpu.train.state import (build_models, create_train_state,
+                                        make_optimizer)
+    from dwcgan_tpu.train.step import make_train_step
+
+    cfg = config_from_dict(dict(TINY_CFG))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    full = synthetic_batch(cfg.batch_size, cfg.image_size, seed=7)
+    batch = shard_batch(full, mesh)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
+    state = place_state(state, mesh, use_tp=False)
+    gen, dis = build_models(cfg, 102)
+    gen_tx = make_optimizer(cfg, state.gen_params)
+    dis_tx = make_optimizer(cfg, state.dis_params)
+    step_fn = jax.jit(make_train_step(cfg, gen, dis, gen_tx, dis_tx),
+                      donate_argnums=0)
+    _, metrics = step_fn(state, batch)
+    expect = {k: float(v) for k, v in metrics.items()}
+
+    # --- actual: two real processes over one 4-device global mesh ---
+    script = tmp_path / "child_step.py"
+    script.write_text(_CHILD_STEP.replace("__REPO__", REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DWCGAN_TEST_CFG"] = json.dumps(TINY_CFG)
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"METRICS{i} ")]
+        assert line, out[-3000:]
+        got = json.loads(line[0].split(" ", 1)[1])
+        assert set(got) == set(expect)
+        for k in expect:
+            np.testing.assert_allclose(
+                got[k], expect[k], rtol=2e-4, atol=1e-5,
+                err_msg=f"proc {i} metric {k}")
