@@ -52,7 +52,12 @@ def _ln(sd, prefix):
 def _to_np(sd):
     out = {}
     for k, v in sd.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # copy() matters: torch's .numpy() shares storage with the live
+        # parameter, and the downstream .T/.transpose() leaves are views —
+        # without it a later in-place optimizer step on the source model
+        # silently mutates the converted tree
+        a = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        out[k] = np.array(a, copy=True)
     return out
 
 

@@ -62,9 +62,12 @@ def test_convert_vgg_feature_parity(tmp_path):
             t = torch.relu(t)
             if pool:
                 t = torch.nn.functional.max_pool2d(t, 2, 2)
+    # 13 conv layers of fp32 reassociation on O(100) activations: observed
+    # max |diff| ~1.2e-3 on 0.4% of elements — wrong key mapping would be
+    # off at the 1e+1 scale
     np.testing.assert_allclose(np.asarray(feats),
                                t.permute(0, 2, 3, 1).numpy(),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-3, atol=5e-3)
 
 
 def _flax_to_torch_keys(tree, prefix=""):
