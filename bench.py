@@ -108,6 +108,11 @@ def main():
     # A/B the shared G forward against reference-style independent D forward
     if os.environ.get("BENCH_FUSE_GD") is not None:
         cfg.fuse_gd_forward = os.environ["BENCH_FUSE_GD"] != "0"
+    # A/B the parity-space boundary-conv rewrites (ops/parity_conv.py):
+    # 0/off, stems, head, 1/all
+    if os.environ.get("BENCH_PARITY") is not None:
+        v = os.environ["BENCH_PARITY"]
+        cfg.parity_convs = {"0": False, "1": True}.get(v, v)
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)

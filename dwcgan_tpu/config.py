@@ -168,6 +168,17 @@ class Config:
     # option (correctness pinned by tests/test_pallas_kernels.py) for
     # shapes/hardware where the balance differs.
     use_pallas: bool = False
+    # Parity-space (space-to-depth) rewrites of the MXU-lane-starved
+    # boundary convolutions: the 3-channel encoder/discriminator stems and
+    # the decoder's narrow output head (ops/parity_conv.py).  Float-exact
+    # up to reassociation (pinned in float64 by tests/test_parity_conv.py);
+    # parameter tree unchanged.  Accepts False/"off", "stems", "head",
+    # True/"all".  Default "head": the round-3 TPU A/B measured 137.7 img/s
+    # (head) vs 136.2 (off) vs 133.0 (stems) at batch 32 — the head rewrite
+    # sits at the graph edge and wins, while the stem rewrites' s2d
+    # transposes break XLA's stem->instance-norm fusions and lose despite
+    # winning standalone (docs/PERF.md).
+    parity_convs: object = "head"
     # share ONE generator forward between the D and G phases of the fused
     # step (n_critic == 1 only): D consumes stop-gradient'ed fakes from the
     # same forward whose vjp later backs G's update, instead of recomputing

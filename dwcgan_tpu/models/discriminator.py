@@ -30,6 +30,7 @@ class _Tower(nn.Module):
     scale: int
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.normal(stddev=0.02)
+    parity: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -37,7 +38,7 @@ class _Tower(nn.Module):
         kw = dict(activ=c.activ, pad_type=c.pad_type, dtype=self.dtype,
                   kernel_init=self.kernel_init)
         d = c.dim
-        x = Conv2dBlock(d, 4, 2, 1, norm="none", **kw)(x)
+        x = Conv2dBlock(d, 4, 2, 1, norm="none", parity=self.parity, **kw)(x)
         for _ in range(c.n_layer - 1):
             d = min(d * 2, 512)
             x = Conv2dBlock(d, 4, 2, 1, norm=c.norm, **kw)(x)
@@ -59,6 +60,7 @@ class MsImageDis(nn.Module):
     cfg: DisConfig
     dtype: jnp.dtype = jnp.float32
     init_type: str = "gaussian"    # reference re-inits D gaussian (solver.py:74)
+    parity: bool = False
 
     @nn.compact
     def __call__(self, x, multiscale: bool = True) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -67,7 +69,7 @@ class MsImageDis(nn.Module):
         n = self.cfg.num_scales if multiscale else 1
         for i in range(self.cfg.num_scales):
             tower = _Tower(self.cfg, scale=i, dtype=self.dtype, kernel_init=ki,
-                           name=f"scale_{i}")
+                           parity=self.parity, name=f"scale_{i}")
             if i < n:
                 outs.append(tower(x))
                 if i + 1 < n:

@@ -64,6 +64,7 @@ class ContentEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     use_pallas: bool = False
+    parity: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -77,7 +78,7 @@ class ContentEncoder(nn.Module):
         kw = dict(activ=self.activ, pad_type=self.pad_type, dtype=self.dtype,
                   kernel_init=self.kernel_init, use_pallas=self.use_pallas)
         d = self.dim
-        x = Conv2dBlock(d, 7, 1, 3, norm="in", **kw)(x)
+        x = Conv2dBlock(d, 7, 1, 3, norm="in", parity=self.parity, **kw)(x)
         for _ in range(self.n_downsample):
             d = min(d * 2, 256)
             x = Conv2dBlock(d, 4, 2, 1, norm="in", **kw)(x)
@@ -100,13 +101,14 @@ class StyleEncoder(nn.Module):
     use_map: bool = True
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    parity: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         kw = dict(norm="none", activ=self.activ, pad_type=self.pad_type,
                   dtype=self.dtype, kernel_init=self.kernel_init)
         d = self.dim
-        x = Conv2dBlock(d, 7, 1, 3, **kw)(x)
+        x = Conv2dBlock(d, 7, 1, 3, parity=self.parity, **kw)(x)
         for _ in range(2):
             x = Conv2dBlock(2 * d, 4, 2, 1, **kw)(x)
             d *= 2
@@ -256,6 +258,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     use_pallas: bool = False
+    parity: bool = False        # parity rewrite of the merged output head
 
     @property
     def num_adain_params(self) -> int:
@@ -291,10 +294,18 @@ class Decoder(nn.Module):
                              name="attention_head")()
         k = jnp.concatenate([ik, ak], axis=-1).astype(self.dtype)
         b = jnp.concatenate([ib, ab], axis=0).astype(self.dtype)
-        xp = pad2d(x, 3, self.pad_type).astype(self.dtype)
-        out = jax.lax.conv_general_dilated(
-            xp, k, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        if self.parity and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # 4 output channels use 4 of 128 MXU lanes; the parity-output
+            # rewrite computes 16 channels at half resolution instead
+            # (exact — ops/parity_conv.py)
+            from dwcgan_tpu.ops.parity_conv import parity_conv_stride1_parity_out
+            out = parity_conv_stride1_parity_out(
+                x.astype(self.dtype), k, 3, self.pad_type) + b
+        else:
+            xp = pad2d(x, 3, self.pad_type).astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                xp, k, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         image = jnp.tanh(out[..., :self.out_dim])
         attention = jax.nn.sigmoid(out[..., self.out_dim:])
         return image, attention
@@ -319,6 +330,8 @@ class Generator(nn.Module):
     init_type: str = "kaiming"
     embed_init_table: Optional[np.ndarray] = None
     use_pallas: bool = False
+    parity_stems: bool = False   # parity-space 7x7 encoder stems
+    parity_head: bool = False    # parity-space decoder output head
 
     def setup(self):
         c = self.cfg
@@ -326,17 +339,19 @@ class Generator(nn.Module):
         self.enc_style = StyleEncoder(
             dim=c.dim, n_downsample=c.style_downsample, c_dim=c.c_dim,
             num_cls=c.num_cls, activ=c.activ, pad_type=c.pad_type,
-            use_map=c.use_map, dtype=self.dtype, kernel_init=ki)
+            use_map=c.use_map, dtype=self.dtype, kernel_init=ki,
+            parity=self.parity_stems)
         self.enc_content = ContentEncoder(
             dim=c.dim, n_downsample=c.content_downsample, n_res=c.n_res,
             activ=c.activ, pad_type=c.pad_type, dtype=self.dtype, kernel_init=ki,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, parity=self.parity_stems)
         content_dim = self.enc_content.output_dim
         self.dec = Decoder(
             dim=content_dim, out_dim=self.input_dim,
             n_upsample=c.content_downsample, n_res=c.n_res, activ=c.activ,
             pad_type=c.pad_type, use_attention=c.use_attention,
-            dtype=self.dtype, kernel_init=ki, use_pallas=self.use_pallas)
+            dtype=self.dtype, kernel_init=ki, use_pallas=self.use_pallas,
+            parity=self.parity_head)
         self.enc_txt = TxtEncoder(
             vocab_size=self.vocab_size, embed_dim=c.embed_dim,
             hidden_size=c.hidden_size, c_dim=c.c_dim, num_cls=c.num_cls,

@@ -112,6 +112,27 @@ def _spectral_normalize(w: jnp.ndarray, n_iter: int = 30) -> jnp.ndarray:
     return (w / sigma).astype(w.dtype)
 
 
+class _ConvKB(nn.Module):
+    """Declares `kernel`/`bias` at the same tree path and shapes as an
+    nn.Conv child, without running the convolution — so rewritten conv
+    paths (parity-space stems, fused heads) keep the checkpoint and
+    torch-import layout byte-identical."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.kernel_size, self.kernel_size,
+                        self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class Conv2dBlock(nn.Module):
     """pad -> conv -> norm -> activation (networks.py:524-585)."""
 
@@ -125,16 +146,27 @@ class Conv2dBlock(nn.Module):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     use_pallas: bool = False    # fused Pallas instance-norm path (TPU)
+    parity: bool = False        # parity-space rewrite of lane-starved stems
 
     @nn.compact
     def __call__(self, x, adain_scale=None, adain_bias=None):
-        x = pad2d(x, self.padding, self.pad_type)
-        conv = nn.Conv(
-            self.features, (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride), padding="VALID", use_bias=True,
-            dtype=self.dtype, param_dtype=jnp.float32, kernel_init=self.kernel_init,
-        )
-        if self.norm == "sn":
+        rewrite = None
+        if self.parity and self.norm != "sn":
+            from dwcgan_tpu.ops.parity_conv import parity_applicable
+            rewrite = parity_applicable(self.kernel_size, self.stride,
+                                        self.padding, x.shape[-1],
+                                        x.shape[1], x.shape[2])
+        if rewrite is not None:
+            from dwcgan_tpu.ops.parity_conv import (
+                parity_conv_stride1_s2d_in, parity_conv_stride2)
+            kern, bias = _ConvKB(self.features, self.kernel_size, x.shape[-1],
+                                 self.kernel_init, name="Conv_0")()
+            fn = (parity_conv_stride2 if rewrite == "stride2"
+                  else parity_conv_stride1_s2d_in)
+            x = fn(x.astype(self.dtype), kern.astype(self.dtype),
+                   self.padding, self.pad_type) + bias.astype(self.dtype)
+        elif self.norm == "sn":
+            x = pad2d(x, self.padding, self.pad_type)
             # spectral norm wraps the kernel; run conv manually with the
             # normalized weights
             w = self.param("sn_kernel", self.kernel_init,
@@ -148,7 +180,12 @@ class Conv2dBlock(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + b.astype(self.dtype)
         else:
-            x = conv(x)
+            x = pad2d(x, self.padding, self.pad_type)
+            x = nn.Conv(
+                self.features, (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride), padding="VALID", use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32, kernel_init=self.kernel_init,
+            )(x)
 
         if self.norm == "in":
             from dwcgan_tpu.ops.pallas.norm_kernels import fits_vmem, instance_norm_pallas

@@ -86,10 +86,19 @@ def build_models(cfg: Config, vocab_size: int,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     # Pallas kernels only on real TPU; CPU/virtual meshes use the jnp path
     use_pallas = bool(cfg.use_pallas) and jax.default_backend() == "tpu"
+    mode = cfg.parity_convs if isinstance(cfg.parity_convs, str) else \
+        ("all" if cfg.parity_convs else "off")
     gen = Generator(cfg=cfg.gen, input_dim=cfg.input_dim, vocab_size=vocab_size,
                     dtype=dtype, init_type=cfg.init,
-                    embed_init_table=embed_table, use_pallas=use_pallas)
-    dis = MsImageDis(cfg=cfg.dis, dtype=dtype, init_type="gaussian")
+                    embed_init_table=embed_table, use_pallas=use_pallas,
+                    parity_stems=mode in ("all", "stems"),
+                    parity_head=mode in ("all", "head"))
+    # parity applies to the generator only: the D-stem (4x4/s2) rewrite
+    # measured SLOWER than XLA's native lowering (docs/PERF.md round-3 A/B),
+    # while the 7x7 encoder stems and the decoder head win.  The flag stays
+    # plumbed through MsImageDis for future hardware where the balance flips.
+    dis = MsImageDis(cfg=cfg.dis, dtype=dtype, init_type="gaussian",
+                     parity=False)
     return gen, dis
 
 
