@@ -57,7 +57,7 @@ def depth_to_space(y: jnp.ndarray) -> jnp.ndarray:
 def _pad2d(x, p, pad_type):
     if p == 0:
         return x
-    mode = {"reflect": "reflect", "zero": "constant"}[pad_type]
+    mode = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}[pad_type]
     return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
 
 

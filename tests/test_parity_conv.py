@@ -17,7 +17,7 @@ from dwcgan_tpu.ops.parity_conv import (
 
 
 def _ref_conv(x, w, stride, pad, pad_type):
-    mode = {"reflect": "reflect", "zero": "constant"}[pad_type]
+    mode = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}[pad_type]
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode) \
         if pad else x
     return jax.lax.conv_general_dilated(
@@ -45,14 +45,14 @@ def _check(fn, stride, k, pad, pad_type, cin, cout, hw=16, tol=1e-12):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
 
 
-@pytest.mark.parametrize("pad_type", ["reflect", "zero"])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 def test_stride2_exact(pad_type):
     # the D stem shape (4x4/s2/p1) plus an even-pad variant
     _check(parity_conv_stride2, 2, 4, 1, pad_type, cin=3, cout=8)
     _check(parity_conv_stride2, 2, 4, 2, pad_type, cin=3, cout=8)
 
 
-@pytest.mark.parametrize("pad_type", ["reflect", "zero"])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 def test_stride1_s2d_in_exact(pad_type):
     # the encoder stems (7x7/s1/p3) and a 3x3/p1 same-size conv
     _check(parity_conv_stride1_s2d_in, 1, 7, 3, pad_type, cin=3, cout=8)
@@ -60,7 +60,7 @@ def test_stride1_s2d_in_exact(pad_type):
     _check(parity_conv_stride1_s2d_in, 1, 5, 2, pad_type, cin=3, cout=8)
 
 
-@pytest.mark.parametrize("pad_type", ["reflect", "zero"])
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
 def test_stride1_parity_out_exact(pad_type):
     # the decoder head (7x7/s1/p3, wide in, narrow out)
     _check(parity_conv_stride1_parity_out, 1, 7, 3, pad_type, cin=16, cout=4)
