@@ -40,39 +40,89 @@ def _measured_rows():
         return []
 
 
-def _best_match(rows, impl, vgg):
-    """Pick the measured row for `impl` matching this bench's vgg setting
-    (preferring the closest batch), so a later re-measurement at different
-    settings cannot silently change the headline ratio (ADVICE r2)."""
+def _measured_file_mtime():
+    """ISO mtime of the measured-baseline file, surfaced in the provenance
+    dict so a stale pre-recorded ratio is visible next to the fresh value
+    (ADVICE r3)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "baseline_measured.json")
+    try:
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                             time.gmtime(os.path.getmtime(path)))
+    except OSError:
+        return None
+
+
+def _best_match(rows, impl, vgg, batch):
+    """Pick the measured row for `impl` matching this bench's vgg setting,
+    preferring the batch closest to the live BENCH_BATCH (ADVICE r3), so a
+    later re-measurement at different settings cannot silently change the
+    headline ratio (ADVICE r2)."""
     cand = [r for r in rows if r.get("impl") == impl and r.get("vgg") == vgg]
     if not cand:
         cand = [r for r in rows if r.get("impl") == impl]
-    return min(cand, key=lambda r: abs(r.get("batch", 0) - 8)) if cand else None
+    return min(cand, key=lambda r: abs(r.get("batch", 0) - batch)) if cand else None
 
 
-def reference_denominator(vgg: bool):
+def reference_denominator(vgg: bool, batch: int):
     """(img/s, provenance dict) of the measured reference-torch run, else
     the documented estimate."""
-    row = _best_match(_measured_rows(), "reference-torch", vgg)
+    row = _best_match(_measured_rows(), "reference-torch", vgg, batch)
     if row:
         prov = {k: row[k] for k in ("impl", "device", "batch",
                                     "images_per_sec", "vgg") if k in row}
+        prov["measured_file_mtime"] = _measured_file_mtime()
         return row["images_per_sec"], prov
     return REFERENCE_IMGS_PER_SEC_ESTIMATE, {
         "impl": "reference-torch", "device": "gpu-estimate",
         "images_per_sec": REFERENCE_IMGS_PER_SEC_ESTIMATE}
 
 
-def same_hardware_ratio(vgg: bool):
+def same_hardware_ratio(vgg: bool, batch: int):
     """Framework-vs-framework ratio on IDENTICAL hardware (both on this
     host's CPU, tools/bench_reference.py) — the decision-grade comparison;
     the TPU-vs-CPU ratio conflates hardware with framework."""
     rows = _measured_rows()
-    ours = _best_match(rows, "dwcgan_tpu-jax", vgg)
-    ref = _best_match(rows, "reference-torch", vgg)
+    ours = _best_match(rows, "dwcgan_tpu-jax", vgg, batch)
+    ref = _best_match(rows, "reference-torch", vgg, batch)
     if ours and ref and ref["images_per_sec"] > 0:
         return round(ours["images_per_sec"] / ref["images_per_sec"], 3)
     return None
+
+
+# bf16 peak FLOP/s per chip by device kind (dense-matmul peak; the MFU
+# denominator).  Overridable via BENCH_PEAK_TFLOPS for new hardware.
+_PEAK_TFLOPS_BY_KIND = {
+    "tpu v5 lite": 197.0, "tpu v5e": 197.0,
+    "tpu v4": 275.0, "tpu v5p": 459.0, "tpu v5": 459.0,
+    "tpu v6 lite": 918.0, "tpu v6e": 918.0,
+}
+
+
+def _peak_flops():
+    import jax
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_TFLOPS_BY_KIND.items():
+        if k in kind:
+            return v * 1e12
+    return None
+
+
+def _flops_per_execution(compiled):
+    """Whole-program model FLOPs from XLA's cost analysis of the compiled
+    step (the same counter tools/profile_step.py reads per-op as
+    `model_flops`).  Returns None where the backend doesn't expose it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -113,6 +163,9 @@ def main():
     if os.environ.get("BENCH_PARITY") is not None:
         v = os.environ["BENCH_PARITY"]
         cfg.parity_convs = {"0": False, "1": True}.get(v, v)
+    # A/B the norm-statistics strategy: "2pass" (reference-exact) / "1pass"
+    if os.environ.get("BENCH_NORM_STATS"):
+        cfg.norm_stats = os.environ["BENCH_NORM_STATS"]
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)
@@ -141,7 +194,20 @@ def main():
     batch = Batch(*(jax.device_put(np.asarray(x), shard_spec(mesh, x.ndim))
                     for x in b))
 
-    # warmup: compile + 2 steady steps
+    # AOT-compile once: the executable serves both the timed loop and the
+    # whole-step MFU numerator (XLA cost-analysis FLOPs), so the FLOP count
+    # describes exactly the program being timed.  If AOT is unavailable on
+    # the backend, fall back to plain jit (mfu omitted, bench still runs).
+    flops_per_step = None
+    try:
+        compiled = step_fn.lower(state, batch).compile()
+        flops_per_step = _flops_per_execution(compiled)
+        step_fn = compiled
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# AOT cost analysis unavailable ({type(e).__name__}); "
+              f"mfu omitted", flush=True)
+
+    # warmup: 3 steady steps
     for _ in range(3):
         state, metrics = step_fn(state, batch)
     _ = float(metrics["loss_gen_total"])
@@ -178,9 +244,9 @@ def main():
     # cross-hardware ratio (our TPU chip / reference on this host's one CPU
     # core, the only hardware the reference runs on here) is reported
     # separately with its denominator's provenance.
-    ref_img_s, prov = reference_denominator(use_vgg)
-    same_hw = same_hardware_ratio(use_vgg)
-    print(json.dumps({
+    ref_img_s, prov = reference_denominator(use_vgg, batch_size)
+    same_hw = same_hardware_ratio(use_vgg, batch_size)
+    out = {
         "metric": "train_images_per_sec_per_chip_128px",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
@@ -190,7 +256,14 @@ def main():
         if same_hw is not None else "cross_hardware_ratio",
         "vs_reference_cross_hardware": round(imgs_per_sec_per_chip / ref_img_s, 2),
         "reference_denominator": prov,
-    }))
+    }
+    # whole-step MFU: model FLOPs of the timed executable / wall time / peak
+    peak = _peak_flops()
+    if flops_per_step is not None and peak:
+        out["mfu"] = round(flops_per_step / dt / peak, 4)
+        out["model_tflops_per_step"] = round(flops_per_step / 1e12, 3)
+        out["peak_tflops"] = peak / 1e12
+    print(json.dumps(out))
 
 
 def _bench_infer(cfg, mesh, batch_size, steps, n_dev):

@@ -179,6 +179,12 @@ class Config:
     # transposes break XLA's stem->instance-norm fusions and lose despite
     # winning standalone (docs/PERF.md).
     parity_convs: object = "head"
+    # Instance/AdaIN/LayerNorm statistics strategy (ops/norms.py):
+    # "2pass" = reference-exact mean-then-centered-variance (3 activation
+    # reads per norm site); "1pass" = E[x^2]-mean^2 with fp32 accumulation
+    # (2 reads — fewer HBM bytes on the bandwidth-saturated norm chains;
+    # A/B + quality replication in docs/PERF.md).
+    norm_stats: str = "2pass"
     # share ONE generator forward between the D and G phases of the fused
     # step (n_critic == 1 only): D consumes stop-gradient'ed fakes from the
     # same forward whose vjp later backs G's update, instead of recomputing
@@ -203,6 +209,7 @@ class Config:
         assert self.batch_size >= 1
         assert self.n_critic >= 1
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.norm_stats in ("2pass", "1pass"), self.norm_stats
         self.gen.validate()
         self.dis.validate()
         assert self.gen.c_dim == self.c_dim

@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from dwcgan_tpu.config import GenConfig
 from dwcgan_tpu.ops.blocks import (
-    AdaINResBlocks, Conv2dBlock, MLP, ResBlocks, make_initializer, pad2d)
+    AdaINResBlocks, Conv2dBlock, MLP, ResBlocks, _ConvKB, make_initializer,
+    pad2d)
 from dwcgan_tpu.ops.lstm import MaskedBiLSTM
 from dwcgan_tpu.ops.resize import upsample2x
 
@@ -216,25 +217,12 @@ class _ConvParams(nn.Module):
     in_features: int
     kernel_init: callable
 
-    class _KB(nn.Module):
-        features: int
-        kernel_size: int
-        in_features: int
-        kernel_init: callable
-
-        @nn.compact
-        def __call__(self):
-            k = self.param("kernel", self.kernel_init,
-                           (self.kernel_size, self.kernel_size,
-                            self.in_features, self.features), jnp.float32)
-            b = self.param("bias", nn.initializers.zeros,
-                           (self.features,), jnp.float32)
-            return k, b
-
     @nn.compact
     def __call__(self):
-        return self._KB(self.features, self.kernel_size, self.in_features,
-                        self.kernel_init, name="Conv_0")()
+        # shared kernel/bias stand-in from ops.blocks (ADVICE r3 dedupe);
+        # the flax tree path is set by name="Conv_0", not the class
+        return _ConvKB(self.features, self.kernel_size, self.in_features,
+                       self.kernel_init, name="Conv_0")()
 
 
 class Decoder(nn.Module):

@@ -23,12 +23,45 @@ import jax.numpy as jnp
 
 _EPS = 1e-5
 
+# How instance/adain statistics are computed (VERDICT r3 item 4 — attack the
+# norm-chain HBM traffic with fewer bytes, not faster per-byte ops):
+#
+# - "2pass" (default, reference-exact): mean, then E[(x-mean)^2].  The
+#   variance reduction depends on the mean, so XLA reads the activation
+#   once for the mean, again for the variance, and again to normalize —
+#   3 reads + 1 write per norm site.
+# - "1pass": var = E[x^2] - mean^2, both moments accumulated in fp32 in ONE
+#   fused reduction pass — 2 reads + 1 write per norm site (~-25% bytes on
+#   a chain that measures at HBM speed of light).  Numerics: fp32
+#   accumulation; cancellation error is ~2^-24 * mean^2, negligible against
+#   the eps=1e-5 floor unless |mean| >> std by ~1e3 (not the case for
+#   IN-normalized GAN activations; A/B'd in docs/PERF.md).
+#
+# Set once at build time via `set_stats_mode` (cfg.norm_stats); it is read
+# at TRACE time, so it must be set before the jit of the step that should
+# use it.
+_STATS_MODE = "2pass"
+
+
+def set_stats_mode(mode: str) -> None:
+    global _STATS_MODE
+    assert mode in ("2pass", "1pass"), mode
+    _STATS_MODE = mode
+
+
+def get_stats_mode() -> str:
+    return _STATS_MODE
+
 
 def _moments_hw(x: jnp.ndarray):
     """Per-(N, C) mean/variance over spatial dims of an NHWC tensor, fp32."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    if _STATS_MODE == "1pass":
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     return mean, var
 
 
@@ -40,6 +73,31 @@ def instance_norm(x: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     mean, var = _moments_hw(x)
     y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def instance_norm_parity(y: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
+    """Instance norm of a depth-to-space-pending parity tensor.
+
+    y: [N, P, Q, 4*C] as produced by
+    `ops.parity_conv.parity_conv_stride1_s2d_in_raw` — full-res channel c is
+    distributed over the 4 parity slots {c, C+c, 2C+c, 3C+c}, whose union of
+    P x Q positions is exactly the full H x W grid.  Pooling the moments over
+    (P, Q, slot) therefore equals `instance_norm` on the depth-to-space'd
+    tensor, up to reassociation; normalizing in this layout keeps the conv ->
+    norm -> activation chain in one layout so XLA can fuse across it
+    (VERDICT r3 item 1).
+    """
+    n, p, q, c4 = y.shape
+    c = c4 // 4
+    y32 = y.astype(jnp.float32).reshape(n, p, q, 4, c)
+    mean = jnp.mean(y32, axis=(1, 2, 3), keepdims=True)
+    if _STATS_MODE == "1pass":
+        m2 = jnp.mean(jnp.square(y32), axis=(1, 2, 3), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(y32 - mean), axis=(1, 2, 3), keepdims=True)
+    out = (y32 - mean) * jax.lax.rsqrt(var + eps)
+    return out.reshape(n, p, q, c4).astype(y.dtype)
 
 
 def adain(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
@@ -67,7 +125,11 @@ def layer_norm_ref(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     x32 = x.astype(jnp.float32)
     n = x32.shape[1] * x32.shape[2] * x32.shape[3]
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.sum(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True) / max(n - 1, 1)
+    if _STATS_MODE == "1pass":
+        s2 = jnp.sum(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
+        var = jnp.maximum(s2 - n * jnp.square(mean), 0.0) / max(n - 1, 1)
+    else:
+        var = jnp.sum(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True) / max(n - 1, 1)
     y = (x32 - mean) / (jnp.sqrt(var) + eps)
     y = y * gamma.astype(jnp.float32)[None, None, None, :] \
         + beta.astype(jnp.float32)[None, None, None, :]

@@ -120,9 +120,19 @@ def parity_conv_stride2(x, w, pad: int, pad_type: str) -> jnp.ndarray:
     return _conv_valid(g, kern, 1)
 
 
-def parity_conv_stride1_s2d_in(x, w, pad: int, pad_type: str) -> jnp.ndarray:
-    """Exact rewrite of conv(pad(x, pad), w, stride=1) for odd-k same-size
-    convs (pad == (k-1)//2) with few INPUT channels."""
+def parity_conv_stride1_s2d_in_raw(x, w, pad: int, pad_type: str) -> jnp.ndarray:
+    """`parity_conv_stride1_s2d_in` WITHOUT the final depth-to-space: returns
+    the parity-layout output [N, H/2, W/2, 4*C_out], channels ordered
+    (row-parity, col-parity, c_out).
+
+    This is the round-4 fusion fix (VERDICT r3 item 1): the stem rewrite's
+    d2s transpose used to sit between the conv and the instance-norm chain
+    XLA fuses it with, losing in-graph despite the conv winning standalone
+    (docs/PERF.md).  Per-channel IN statistics over the full HxW grid are
+    EXACTLY the pooled statistics over the channel's 4 parity slots
+    (`ops.norms.instance_norm_parity`), so norm + activation can run in
+    this layout and the d2s moves to the block edge.
+    """
     k = w.shape[0]
     shift = pad % 2
     g = space_to_depth(_pad2d(x, pad + shift, pad_type))
@@ -130,7 +140,13 @@ def parity_conv_stride1_s2d_in(x, w, pad: int, pad_type: str) -> jnp.ndarray:
     kern = jnp.einsum("PQabijde,deco->PQabcijo", m, w)
     kern = kern.reshape(kern.shape[0], kern.shape[1],
                         4 * w.shape[2], 4 * w.shape[3])
-    return depth_to_space(_conv_valid(g, kern, 1))
+    return _conv_valid(g, kern, 1)
+
+
+def parity_conv_stride1_s2d_in(x, w, pad: int, pad_type: str) -> jnp.ndarray:
+    """Exact rewrite of conv(pad(x, pad), w, stride=1) for odd-k same-size
+    convs (pad == (k-1)//2) with few INPUT channels."""
+    return depth_to_space(parity_conv_stride1_s2d_in_raw(x, w, pad, pad_type))
 
 
 def parity_conv_stride1_parity_out(x, w, pad: int, pad_type: str) -> jnp.ndarray:

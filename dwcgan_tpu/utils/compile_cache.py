@@ -69,7 +69,15 @@ def enable(cache_dir: str | None = None):
     import jax
 
     if not _accelerator_backend_selected():
-        return
+        # No explicit JAX_PLATFORMS: ask the backend itself (initializing it
+        # if needed — enable() runs at process start anyway).  This keeps the
+        # cache ON for TPU/GPU hosts that rely on JAX's default backend
+        # detection (ADVICE r3) while still refusing XLA:CPU persistence.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
     cache_dir = cache_dir or os.environ.get(
         "DWCGAN_COMPILE_CACHE", os.path.expanduser("~/.cache/dwcgan_jax_cache"))
     cache_dir = os.path.join(cache_dir, _machine_fingerprint())

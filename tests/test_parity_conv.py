@@ -127,3 +127,59 @@ def test_models_parity_on_off_equal():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(cb), np.asarray(ca),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pad_type", ["reflect", "zero"])
+def test_stride1_through_norm_exact(pad_type):
+    """The round-4 parity-THROUGH-norm path: conv in parity layout, IN stats
+    pooled over the 4 parity slots, activation, then d2s — must equal
+    pad->conv->instance_norm->relu in float64 (values and grads), proving
+    the pooled-slot statistics are the full-grid statistics."""
+    from dwcgan_tpu.ops import norms
+    from dwcgan_tpu.ops.parity_conv import parity_conv_stride1_s2d_in_raw
+
+    eps = 1e-5
+
+    def in_full(y):  # f64 instance norm (production pins stats to f32)
+        m = jnp.mean(y, axis=(1, 2), keepdims=True)
+        v = jnp.mean(jnp.square(y - m), axis=(1, 2), keepdims=True)
+        return (y - m) * jax.lax.rsqrt(v + eps)
+
+    def in_parity(y):  # f64 pooled-slot stats, parity layout
+        n, p, q, c4 = y.shape
+        y5 = y.reshape(n, p, q, 4, c4 // 4)
+        m = jnp.mean(y5, axis=(1, 2, 3), keepdims=True)
+        v = jnp.mean(jnp.square(y5 - m), axis=(1, 2, 3), keepdims=True)
+        return ((y5 - m) * jax.lax.rsqrt(v + eps)).reshape(y.shape)
+
+    with jax.enable_x64(True):
+        kx, kw = jax.random.split(jax.random.PRNGKey(3))
+        x = jax.random.normal(kx, (2, 16, 16, 3), jnp.float64)
+        w = jax.random.normal(kw, (7, 7, 3, 8), jnp.float64) * 0.05
+
+        def ref(x, w):
+            return jax.nn.relu(in_full(_ref_conv(x, w, 1, 3, pad_type)))
+
+        def par(x, w):
+            raw = parity_conv_stride1_s2d_in_raw(x, w, 3, pad_type)
+            return depth_to_space(jax.nn.relu(in_parity(raw)))
+
+        yr, yp = ref(x, w), par(x, w)
+        assert yr.shape == yp.shape
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), atol=1e-10)
+
+        gr = jax.grad(lambda x, w: (ref(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+        gp = jax.grad(lambda x, w: (par(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+        for a, b in zip(gr, gp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8)
+
+    # production functions (f32 stats): same chain within f32 rounding
+    x32 = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3)),
+                      jnp.float32)
+    w32 = jnp.asarray(np.random.default_rng(1).normal(size=(7, 7, 3, 8)) * 0.05,
+                      jnp.float32)
+    a = jax.nn.relu(norms.instance_norm(_ref_conv(x32, w32, 1, 3, pad_type)))
+    raw = parity_conv_stride1_s2d_in_raw(x32, w32, 3, pad_type)
+    b = depth_to_space(jax.nn.relu(norms.instance_norm_parity(raw)))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)

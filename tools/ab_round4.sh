@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-4 A/B matrix on the real chip (run only while the chip is otherwise
+# idle).  Each line = one bench invocation; results append to tools/ab_r4.log
+# as the bench's JSON line prefixed with the variant tag.
+set -u
+cd "$(dirname "$0")/.."
+LOG=tools/ab_r4.log
+run() {
+  tag="$1"; shift
+  echo "=== $tag ($(date -u +%H:%M:%SZ))" >> "$LOG"
+  env "$@" python bench.py 2>/dev/null | tail -1 >> "$LOG"
+}
+# 1. baseline re-measure at HEAD (parity=head, 2pass) + MFU
+run "head_2pass_b32"
+# 2. stems rewrite, now parity-THROUGH-norm (VERDICT item 1)
+run "stems_2pass_b32" BENCH_PARITY=stems
+# 3. all rewrites
+run "all_2pass_b32" BENCH_PARITY=1
+# 4. 1pass norm stats with default parity
+run "head_1pass_b32" BENCH_NORM_STATS=1pass
+# 5. batch-64 default (anomaly re-measure at HEAD)
+run "head_2pass_b64" BENCH_BATCH=64
+echo "=== done ($(date -u +%H:%M:%SZ))" >> "$LOG"

