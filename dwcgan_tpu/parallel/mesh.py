@@ -42,6 +42,15 @@ _TP_RULES = (
     # discriminator towers: the 512-channel deep convs shard their output
     # channels (dims cap at 512 from layer 3 on, networks.py:92-95)
     (re.compile(r"scale_\d+/Conv2dBlock_[34]/Conv_0/kernel$"), 3),
+    # text/style Gaussian heads: the TxtEncoder heads contract the 2400-wide
+    # concatenated LSTM finals (networks_v2.py:249-254) — the widest Dense
+    # inputs in the model; shard the contracting dim, one psum per head
+    (re.compile(r"head_(mu|logvar)/kernel$"), 0),
+    # bi-LSTM gate kernels: shard the 4H-wide fused-gate output dim (1200 for
+    # the flagship's hidden 300).  The per-gate H-slices then each live half
+    # on each shard; GSPMD inserts the regather at the nonlinearities inside
+    # the scan body
+    (re.compile(r"lstm/l\d+(_fwd|_bwd)?/(fwd|bwd)?_?w_[xh]$"), 1),
 )
 
 

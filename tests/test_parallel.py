@@ -50,6 +50,14 @@ def test_param_shardings_tp_rules():
     mlp = sh["mlp"]
     specs = [s.spec for s in jax.tree_util.tree_leaves(mlp)]
     assert any("model" in str(s) for s in specs), specs
+    # TxtEncoder coverage (round 4): the wide Gaussian heads shard their
+    # contracting dim and the LSTM gate kernels shard the fused-gate dim
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): s.spec
+            for p, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    txt_sharded = [k for k, s in flat.items()
+                   if k.startswith("enc_txt") and "model" in str(s)]
+    assert any("head_mu/kernel" in k for k in txt_sharded), flat.keys()
+    assert any("w_x" in k for k in txt_sharded), txt_sharded
     # everything on a 1-wide model axis stays replicated
     mesh1 = create_mesh(data=8, model=1)
     sh1 = param_shardings(mesh1, state.gen_params, use_tp=True)
