@@ -20,4 +20,6 @@ run "all_2pass_b32" BENCH_PARITY=1
 run "head_1pass_b32" BENCH_NORM_STATS=1pass
 # 5. batch-64 default (anomaly re-measure at HEAD)
 run "head_2pass_b64" BENCH_BATCH=64
+# 6. combined candidate: stems rewrite + 1pass stats
+run "stems_1pass_b32" BENCH_PARITY=stems BENCH_NORM_STATS=1pass
 echo "=== done ($(date -u +%H:%M:%SZ))" >> "$LOG"
