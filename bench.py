@@ -125,7 +125,45 @@ def _flops_per_execution(compiled):
         return None
 
 
+def _wait_for_backend():
+    """Bounded wait for the accelerator backend before committing to it.
+
+    The axon relay can be down for hours (observed 2026-08-17: a 6h outage
+    killed a run mid-save); when it is, `jax.devices()` either raises
+    RuntimeError fast or HANGS indefinitely — so the probe runs in a
+    subprocess under `timeout`, and this process only imports jax once a
+    probe has succeeded.  Wait budget: BENCH_TPU_WAIT_S (default 900 s,
+    0 disables).  On a CPU-only environment the first probe succeeds
+    immediately (the probe only checks that SOME backend answers)."""
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert float((jnp.ones((8,8))@jnp.ones((8,8))).sum()) == 64.0")
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline or budget <= 0:
+            print(f"# backend probe failed after {attempt} attempts "
+                  f"({budget:.0f}s budget) — accelerator relay down",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(2)
+        print(f"# backend not answering (attempt {attempt}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from dwcgan_tpu.utils.compile_cache import enable as enable_compile_cache
