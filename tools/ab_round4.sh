@@ -20,6 +20,8 @@ run "all_2pass_b32" BENCH_PARITY=1
 run "head_1pass_b32" BENCH_NORM_STATS=1pass
 # 5. batch-64 default (anomaly re-measure at HEAD)
 run "head_2pass_b64" BENCH_BATCH=64
+# 5b. batch-128: completes the 32/64/128 scaling curve (VERDICT item 2)
+run "head_2pass_b128" BENCH_BATCH=128
 # 6. combined candidate: stems rewrite + 1pass stats
 run "stems_1pass_b32" BENCH_PARITY=stems BENCH_NORM_STATS=1pass
 echo "=== done ($(date -u +%H:%M:%SZ))" >> "$LOG"
