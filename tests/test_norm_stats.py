@@ -110,3 +110,38 @@ def test_config_knob_sets_mode():
                           "gen": {"dim": 8, "style_downsample": 3},
                           "dis": {"dim": 8, "n_layer": 3, "num_scales": 2,
                                   "image_size": 32}})
+
+
+def test_instance_norm_parity_1pass_matches_full_grid():
+    """The combined A/B candidate (parity-layout stems + 1pass stats): the
+    production instance_norm_parity under "1pass" must match the production
+    full-grid instance_norm under reference-exact "2pass" after
+    depth_to_space, values and grads, on a shifted input that stresses the
+    E[x^2]-mean^2 cancellation."""
+    from dwcgan_tpu.ops.parity_conv import (depth_to_space,
+                                            parity_conv_stride1_s2d_in_raw)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0.5, 1.0, (2, 16, 16, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(0.0, 0.05, (7, 7, 3, 8)), jnp.float32)
+
+    def full(x, w):
+        raw = parity_conv_stride1_s2d_in_raw(x, w, 3, "reflect")
+        return jax.nn.relu(norms.instance_norm(depth_to_space(raw)))
+
+    def par(x, w):
+        raw = parity_conv_stride1_s2d_in_raw(x, w, 3, "reflect")
+        return depth_to_space(jax.nn.relu(norms.instance_norm_parity(raw)))
+
+    norms.set_stats_mode("2pass")
+    ref = full(x, w)
+    gref = jax.grad(lambda x, w: (full(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+    norms.set_stats_mode("1pass")
+    got = par(x, w)
+    ggot = jax.grad(lambda x, w: (par(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(gref, ggot):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
