@@ -22,6 +22,9 @@ run "head_1pass_b32" BENCH_NORM_STATS=1pass
 run "head_2pass_b64" BENCH_BATCH=64
 # 5b. batch-128: completes the 32/64/128 scaling curve (VERDICT item 2)
 run "head_2pass_b128" BENCH_BATCH=128
+# 5c. if the b64 regression is HBM working-set pressure, remat should help
+#     at 64 even though it lost at 32 in r2
+run "head_2pass_b64_remat" BENCH_BATCH=64 BENCH_REMAT=1
 # 6. combined candidate: stems rewrite + 1pass stats
 run "stems_1pass_b32" BENCH_PARITY=stems BENCH_NORM_STATS=1pass
 echo "=== done ($(date -u +%H:%M:%SZ))" >> "$LOG"
