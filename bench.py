@@ -140,7 +140,7 @@ def _wait_for_backend():
 
     budget = float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
     probe = ("import jax, jax.numpy as jnp; "
-             "assert float((jnp.ones((8,8))@jnp.ones((8,8))).sum()) == 64.0")
+             "assert float((jnp.ones((8,8))@jnp.ones((8,8))).sum()) == 512.0")
     deadline = time.time() + budget
     attempt = 0
     while True:

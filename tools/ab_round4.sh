@@ -8,7 +8,10 @@ LOG=tools/ab_r4.log
 run() {
   tag="$1"; shift
   echo "=== $tag ($(date -u +%H:%M:%SZ))" >> "$LOG"
-  env "$@" python bench.py 2>/dev/null | tail -1 >> "$LOG"
+  # keep stderr: a silent bench failure cost a whole night once (the
+  # wait_tpu probe asserted the wrong matmul sum and every run "failed")
+  env "$@" python bench.py 2>"tools/ab_r4_${tag}.err" | tail -1 >> "$LOG"
+  [ -s "tools/ab_r4_${tag}.err" ] || rm -f "tools/ab_r4_${tag}.err"
 }
 # 1. baseline re-measure at HEAD (parity=head, 2pass) + MFU
 run "head_2pass_b32"

@@ -15,7 +15,7 @@ note "main queue done, evaluating norm-stats A/B"
 wait_tpu() {
   until timeout 300 python -c "
 import jax, jax.numpy as jnp
-assert float((jnp.ones((64,64))@jnp.ones((64,64))).sum()) == 64.0*64
+assert float((jnp.ones((64,64))@jnp.ones((64,64))).sum()) == 64.0**3
 " 2>/dev/null; do note "TPU still down"; sleep 120; done
 }
 

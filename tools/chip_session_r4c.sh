@@ -1,21 +1,21 @@
 #!/bin/bash
-# Round-4 chip session: wait for the axon relay to return, then run the
-# measurement queue SERIALLY (1 core + 1 chip — nothing may overlap):
-#   1. A/B matrix (tools/ab_round4.sh -> tools/ab_r4.log)
-#   2. per-op profiles: train batch 32 vs 64, serving batch 128 vs 256
-#      (the VERDICT r3 batch-64 / serving-saturation analyses)
-#   3. quality-trend eval of the q3 checkpoints 24k/28k/32k BEFORE the
-#      resumed run's ckpt_keep=20 prunes them
-#   4. penalty-path evidence runs: n_critic=2, use_r1, gp_w=10 (3k steps
-#      each on procedural data)
-#   5. resume runs/q3 from its last checkpoint (34000) to 50k steps
-#   6. quality-trend eval 36k..50k + the 6-command demo on the 50k ckpt
-# Training stages retry through relay wedges: wait-for-TPU, relaunch with
-# --resume 1 (lossless Orbax resume), up to 5 attempts each.
+# Round-4 chip session, part C — the post-A/B remainder, ADAPTED to the
+# VM reset that wiped runs/ (the q3 checkpoint trail 20k..34k is gone, so
+# VERDICT r3 items 4 and 8 merge into ONE fresh 50k quality run under the
+# A/B-winning step config; the round-3 trend in quality/quality_trend_r3.json
+# stays the comparison baseline — same config, data, seed, eval protocol).
+#
+# Stages (serial; 1 core + 1 chip):
+#   1. per-op profiles: train b32 vs b64, serving b128 vs b256
+#   2. penalty-path evidence runs: n_critic=2, use_r1, gp_w=10 (3k steps)
+#   3. fresh 50k quality run under configs/celeba_quality_r4.yaml
+#      (written by the A/B decision step before this script runs)
+#   4. trend eval at 2k..50k + the 6-command demo on the 50k checkpoint
+# Training stages retry through relay wedges via lossless Orbax resume.
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/chip_session_r4.log
-note() { echo "[$(date -u +%H:%M:%SZ)] $*" >> "$LOG"; }
+note() { echo "[$(date -u +%H:%M:%SZ)] r4c: $*" >> "$LOG"; }
 
 wait_tpu() {
   until timeout 300 python -c "
@@ -25,7 +25,6 @@ assert float((jnp.ones((64,64))@jnp.ones((64,64))).sum()) == 64.0**3
   note "TPU up"
 }
 
-# run_train <tag> <timeout_s> <cli args...>: retry through wedges
 run_train() {
   tag="$1"; tmo="$2"; shift 2
   for attempt in 1 2 3 4 5; do
@@ -47,14 +46,10 @@ run_train() {
   return 1
 }
 
-note "=== chip session r4 queue start"
-wait_tpu
+mkdir -p runs
+note "=== chip session r4c start"
 
-# 1. A/B matrix
-bash tools/ab_round4.sh
-note "A/B matrix done (tools/ab_r4.log)"
-
-# 2. profiles: train b32 vs b64, serving b128 vs b256
+# 1. profiles: train b32 vs b64 (VERDICT item 2), serving b128 vs b256
 for b in 32 64; do
   wait_tpu
   timeout 3600 python -u tools/profile_step.py --trace_dir "/tmp/trace_b$b" \
@@ -71,46 +66,46 @@ for b in 128 256; do
   note "infer profile b$b exit=$?"
 done
 
-# 3. eval the 24k-32k checkpoints before the 50k run prunes them
-wait_tpu
-timeout 7200 python -u tools/quality_eval.py \
-  --run_dir runs/q3/outputs/celeba_quality --config configs/celeba_quality.yaml \
-  --steps 24000,28000,32000 --out runs/q3_quality_mid \
-  > runs/q3_quality_mid.log 2>&1
-note "q3 mid eval exit=$?"
-
-# 4. penalty-path evidence runs (VERDICT r3 item 3)
+# 2. penalty-path evidence runs (VERDICT r3 item 3)
 for pen in ncritic2 r1 gp; do
   run_train "pen_$pen" 7200 \
     --config "configs/pen_$pen.yaml" --procedural_data \
     --output_path "runs/pen_$pen"
 done
 
-# 5. q3 -> 50k (VERDICT r3 item 8); always resumes (ckpts exist to 34000)
-for attempt in 1 2 3 4 5; do
+# 3. fresh quality run to 50k under the round-4 winner config
+for attempt in 1 2 3 4 5 6 7 8; do
   wait_tpu
-  note "q3ext attempt $attempt start"
-  timeout 14400 python -u -m dwcgan_tpu.cli.train \
-    --config configs/celeba_quality.yaml --procedural_data \
-    --output_path runs/q3 --resume 1 --max_steps 50000 \
-    >> runs/q3_train_ext50k.log 2>&1
+  note "q4 attempt $attempt start"
+  if [ "$attempt" -gt 1 ]; then
+    timeout 14400 python -u -m dwcgan_tpu.cli.train \
+      --config configs/celeba_quality_r4.yaml --procedural_data \
+      --output_path runs/q4 --resume 1 --max_steps 50000 \
+      >> runs/q4_train.log 2>&1
+  else
+    timeout 14400 python -u -m dwcgan_tpu.cli.train \
+      --config configs/celeba_quality_r4.yaml --procedural_data \
+      --output_path runs/q4 --max_steps 50000 \
+      >> runs/q4_train.log 2>&1
+  fi
   rc=$?
-  note "q3ext attempt $attempt exit=$rc"
+  note "q4 attempt $attempt exit=$rc"
   [ "$rc" -eq 0 ] && break
   sleep 30
 done
 
-# 6. trend rows past 40k + the 6-command demo on the 50k checkpoint
+# 4. trend eval + demo
 wait_tpu
 timeout 10800 python -u tools/quality_eval.py \
-  --run_dir runs/q3/outputs/celeba_quality --config configs/celeba_quality.yaml \
-  --steps 36000,40000,44000,48000,50000 --out runs/q3_quality_ext50 \
-  > runs/q3_quality_ext50.log 2>&1
-note "q3 50k eval exit=$?"
+  --run_dir runs/q4/outputs/celeba_quality_r4 \
+  --config configs/celeba_quality_r4.yaml \
+  --steps 2000,4000,8000,12000,16000,20000,28000,36000,44000,50000 \
+  --out runs/q4_quality > runs/q4_quality.log 2>&1
+note "q4 eval exit=$?"
 wait_tpu
 timeout 3600 python -u -m dwcgan_tpu.cli.translate \
-  --config configs/celeba_quality.yaml \
-  --checkpoint runs/q3/outputs/celeba_quality/checkpoints/50000 \
+  --config configs/celeba_quality_r4.yaml \
+  --checkpoint runs/q4/outputs/celeba_quality_r4/checkpoints/50000 \
   --list tools/demo_faces/cmds.lst --image_dir tools/demo_faces \
   --out_dir /tmp/demo_out_r4 > /tmp/demo_r4.log 2>&1
 note "demo translate exit=$?"
@@ -129,4 +124,4 @@ grid.save("quality/demo_commands_r4.jpg", quality=92)
 print("demo grid saved: quality/demo_commands_r4.jpg")
 PYEOF
 
-note "=== chip session r4 queue DONE"
+note "=== chip session r4c DONE"
