@@ -25,7 +25,11 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/celeba_faces.yaml")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="Orbax checkpoints root dir, or a single step dir "
+                        "(.../checkpoints/8000) — the step is inferred")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (default: latest)")
     p.add_argument("--list", required=True, help="TSV: image<TAB>command")
     p.add_argument("--image_dir", required=True)
     p.add_argument("--out_dir", required=True)
@@ -48,9 +52,19 @@ def main(argv=None):
     cfg = load_config(args.config)
     vocab = Vocab(cfg.dataset)
     state = create_train_state(cfg, jax.random.PRNGKey(0), vocab.size)
-    mgr = CheckpointManager(args.checkpoint)
-    state = mgr.restore(state)
+    # accept either the checkpoints root or a single step directory —
+    # the round-4 demo failed silently because the step dir was passed
+    # (tools/chip_session_r4.log: "demo translate exit=1")
+    ckpt_dir, step = args.checkpoint.rstrip("/"), args.step
+    base = os.path.basename(ckpt_dir)
+    if base.isdigit():
+        ckpt_dir, step = os.path.dirname(ckpt_dir), int(base)
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() is not None, f"no checkpoints under {ckpt_dir}"
+    step = mgr.latest_step() if step is None else step
+    state = mgr.restore(state, step=step)
     mgr.close()
+    print(f"loaded checkpoint step {step} from {ckpt_dir}", flush=True)
     params = state.ema_gen_params if args.use_ema else state.gen_params
     gen, _ = build_models(cfg, vocab.size)
     infer = jax.jit(make_infer_fn(cfg, gen))

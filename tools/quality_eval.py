@@ -149,9 +149,18 @@ def main(argv=None):
         print(json.dumps(row), flush=True)
 
     mgr.close()
+    # self-describing provenance (ADVICE r4): which config produced the trend
+    import hashlib
+    with open(args.config, "rb") as f:
+        cfg_sha = hashlib.sha256(f.read()).hexdigest()[:16]
     with open(os.path.join(args.out, "quality_trend.json"), "w") as f:
         json.dump({"n_eval": n, "inception": "random-weights seed 0",
+                   "config": os.path.relpath(args.config),
+                   "config_sha256_16": cfg_sha,
+                   "run_dir": os.path.relpath(args.run_dir),
+                   "norm_stats": cfg.norm_stats, "seed": cfg.seed,
                    "results": results}, f, indent=1)
+        f.write("\n")
     print(f"wrote {args.out}/quality_trend.json", flush=True)
 
 
