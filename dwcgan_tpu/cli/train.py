@@ -221,8 +221,16 @@ def main(argv=None):
                                      image_size=cfg.image_size,
                                      max_text_len=cfg.max_text_len, seed=cfg.seed,
                                      test_split=cfg.test_split)
-    pipe = DataPipeline(dataset, cfg.batch_size, num_workers=cfg.num_workers,
-                        seed=cfg.seed)
+    # cfg.batch_size is the GLOBAL batch: each process loads only its own
+    # rows (disjoint per-epoch slices inside DataPipeline) and contributes
+    # them via jax.make_array_from_process_local_data in shard_batch —
+    # proven by tests/test_multihost.py::test_two_process_real_datapipeline
+    n_proc = jax.process_count()
+    assert cfg.batch_size % n_proc == 0, (
+        f"batch_size {cfg.batch_size} must be divisible by the process "
+        f"count ({n_proc})")
+    pipe = DataPipeline(dataset, cfg.batch_size // n_proc,
+                        num_workers=cfg.num_workers, seed=cfg.seed)
 
     def fixed_display(ds, n):
         items = [ds[i] for i in range(n)]
@@ -236,7 +244,8 @@ def main(argv=None):
     disp_train_dev = to_dev(fixed_display(dataset, cfg.display_size))
 
     def render(tag, step_i, train=False):
-        att_on = np.asarray(cfg.gen.use_attention and step_i >= 10000)
+        att_on = np.asarray(cfg.gen.use_attention
+                            and step_i >= cfg.attention_warm_iter)
         d = disp_train_dev if train else disp_dev
         rows = sample_fn(state.ema_gen_params, jax.random.PRNGKey(step_i),
                          d.image, d.txt, d.txt_len, att_on)
@@ -245,7 +254,11 @@ def main(argv=None):
 
     # --- loop ---
     from dwcgan_tpu.utils.guard import FiniteGuard, StallWatchdog
-    guard = FiniteGuard(every=cfg.log_iter)
+    # cadence/patience are config knobs (cfg.guard_every 0 = ride log_iter,
+    # whose scalars are fetched anyway); worst-case NaN exposure is
+    # guard_every * guard_patience steps — rationale in config.py
+    guard = FiniteGuard(every=cfg.guard_every or cfg.log_iter,
+                        patience=cfg.guard_patience)
     # silent-device-wedge detector (docs/PERF.md "relay wedge"): when the
     # host blocks on a device fetch with no progress, shout with the last
     # completed step so an operator (or supervisor) can kill + --resume 1

@@ -76,10 +76,23 @@ class CelebADataset:
         self.max_text_len = max_text_len
         self.resize_backend = resize_backend
         self.vocab = Vocab("CelebA")
+        self.seed = seed
         self.rng = random.Random(seed)
         self.synth = TextSynthesizer(self.rng)
 
         self.samples = self._parse(attr_path, selected_attrs, seed, test_split)
+
+    def reseed_augmentation(self, salt: int) -> None:
+        """Decorrelate per-item augmentation randomness (random target-label
+        pairing, horizontal flip, text synthesis) across data-parallel
+        hosts.  The split (`self.samples`) is deliberately untouched: it
+        must stay process-identical so every host's disjoint index slice
+        refers to the same global dataset (SURVEY §5.8).  Called by
+        `DataPipeline` with salt=process_index when process_count > 1;
+        never called single-process, so single-host behavior is unchanged.
+        """
+        self.rng = random.Random(self.seed * 1_000_003 + 7919 * (salt + 1))
+        self.synth = TextSynthesizer(self.rng)
 
     def _parse(self, attr_path, selected_attrs, seed, test_split) -> List[Tuple[str, List[int]]]:
         with open(attr_path, "r") as f:

@@ -80,8 +80,27 @@ class DataPipeline:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
-        assert len(dataset) >= batch_size, "dataset smaller than one batch"
+        # multi-host data sharding (SURVEY §5.8): each process loads only
+        # its own disjoint slice of every epoch.  Defaults resolve from the
+        # jax runtime so single-process callers need no change.
+        if process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:  # jax absent/uninitialized: host-only usage
+                process_index, process_count = 0, 1
+        self.process_index = int(process_index or 0)
+        self.process_count = int(process_count)
+        assert 0 <= self.process_index < self.process_count, (
+            self.process_index, self.process_count)
+        assert len(dataset) >= batch_size * self.process_count, (
+            "dataset smaller than one global batch "
+            f"({len(dataset)} rows, {batch_size} x {self.process_count} needed)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,15 +108,27 @@ class DataPipeline:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        if self.process_count > 1 and hasattr(dataset, "reseed_augmentation"):
+            # decorrelate per-item augmentation RNG (target pairing, flips,
+            # text synthesis) across hosts; the dataset's split/label
+            # construction stays process-identical by contract
+            dataset.reseed_augmentation(self.process_index)
 
     def _index_stream(self) -> Iterator[np.ndarray]:
+        """Per-epoch: every process draws the SAME permutation (seeded by
+        `self.seed` alone — deliberately NOT process-salted) and takes a
+        disjoint strided slice of it, so the union of all hosts' batches
+        covers the epoch with no duplicated rows.  process_count == 1
+        reduces exactly to the single-host behavior of rounds 1-4."""
         rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
         while True:
             order = rng.permutation(n) if self.shuffle else np.arange(n)
-            stop = n - (n % self.batch_size) if self.drop_last else n
+            mine = order[self.process_index :: self.process_count]
+            m = len(mine)
+            stop = m - (m % self.batch_size) if self.drop_last else m
             for i in range(0, stop, self.batch_size):
-                yield order[i : i + self.batch_size]
+                yield mine[i : i + self.batch_size]
 
     def _collate(self, idxs: Sequence[int]) -> Batch:
         items = [self.dataset[int(i)] for i in idxs]

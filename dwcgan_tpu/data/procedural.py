@@ -249,6 +249,7 @@ class ProceduralFaceDataset:
         self.vocab = Vocab(dataset)
         self.rng = random.Random(seed + (1 if mode == "test" else 0))
         self.synth = TextSynthesizer(self.rng)
+        self._rng_salt = 0
         # renders are deterministic per index; memoize as uint8 (~n*48KB at
         # 128px) so epochs after the first cost no render CPU — this host
         # class can be CPU-starved and the renderer would otherwise compete
@@ -257,6 +258,17 @@ class ProceduralFaceDataset:
 
     def __len__(self) -> int:
         return len(self.labels)
+
+    def reseed_augmentation(self, salt: int) -> None:
+        """Decorrelate per-item augmentation randomness (target pairing,
+        flip, text) across data-parallel hosts; `self.labels` and the
+        per-index renders stay process-identical (they must — each host's
+        disjoint index slice refers to the same global dataset).  Called by
+        `DataPipeline` with salt=process_index when process_count > 1."""
+        self._rng_salt = salt
+        self.rng = random.Random(self.seed + (1 if self.mode == "test" else 0)
+                                 + 7919 * (salt + 1))
+        self.synth = TextSynthesizer(self.rng)
 
     def render(self, index: int) -> np.ndarray:
         """Deterministic per-index render (nuisance varies with index only)."""
