@@ -160,6 +160,19 @@ class Config:
     mesh_model: int = 1            # model/tensor-parallel axis size
     d_reg_every: int = 16          # R1 cadence (reference: solver.py:54)
     ckpt_keep: int = 5             # orbax max_to_keep (reference keeps all)
+    # Attention blending activates at iteration >= this (reference hardcodes
+    # 10000 at solver.py:109-111; default keeps parity).  Consumed inside
+    # the jitted step as a step-indexed predicate, so changing it never
+    # retriggers compilation.
+    attention_warm_iter: int = 10000
+    # FiniteGuard (utils/guard.py) NaN-tripwire cadence/patience.  Checking
+    # a metric forces a device->host scalar fetch, so `guard_every` trades
+    # detection latency against sync cost: the worst case is
+    # guard_every * guard_patience steps of NaN training before the trip
+    # (e.g. 100 * 2 = 200 steps at the defaults).  guard_every 0 = follow
+    # log_iter (those scalars are fetched for logging anyway).
+    guard_every: int = 0
+    guard_patience: int = 2
     # Fused Pallas instance/layer-norm kernels (ops/pallas/norm_kernels.py).
     # Default OFF: the round-3 A/B at batch 32 measured 136.2 img/s with
     # XLA-native norms vs 130.1 with the kernels (docs/PERF.md) — XLA's own
@@ -168,6 +181,14 @@ class Config:
     # option (correctness pinned by tests/test_pallas_kernels.py) for
     # shapes/hardware where the balance differs.
     use_pallas: bool = False
+    # Fused Pallas 7x7 stem kernel (ops/pallas/stem_kernels.py): the whole
+    # reflect-pad + conv + instance-norm + ReLU encoder stem as ONE VMEM
+    # pass per image with K=147 on the MXU reduction dim and a custom VJP
+    # (the round-5 form of the stem lever after the pure-XLA parity
+    # rewrites measured negative in-graph — docs/PERF.md).  Off by default
+    # until/unless the on-chip A/B wins; correctness pinned by
+    # tests/test_stem_kernels.py.
+    stem_pallas: bool = False
     # Parity-space (space-to-depth) rewrites of the MXU-lane-starved
     # boundary convolutions: the 3-channel encoder/discriminator stems and
     # the decoder's narrow output head (ops/parity_conv.py).  Float-exact
@@ -210,6 +231,8 @@ class Config:
         assert self.n_critic >= 1
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.norm_stats in ("2pass", "1pass"), self.norm_stats
+        assert self.attention_warm_iter >= 0
+        assert self.guard_every >= 0 and self.guard_patience >= 1
         self.gen.validate()
         self.dis.validate()
         assert self.gen.c_dim == self.c_dim

@@ -18,7 +18,8 @@ launches).  Semantics deliberately preserved:
   SURVEY §3.3; stop_gradient is the efficient equivalent)
 - diversity weight decays 1e-5 per G update from ds_w, floored at 0, and is
   SUBTRACTED (solver.py:183, 238)
-- attention blending activates at iteration >= 10000 (solver.py:109-111),
+- attention blending activates at iteration >= cfg.attention_warm_iter
+  (default 10000 = the reference's hardcoded gate, solver.py:109-111),
   expressed as a traced `jnp.where` so it never retriggers compilation
 - R1 penalty every d_reg_every=16 steps via `lax.cond` (solver.py:346-350)
 - EMA (decay 0.999) every iteration for both nets (train.py:109)
@@ -369,7 +370,8 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         step = state.step
         key = jax.random.fold_in(state.rng, step)
         k_d, k_g = jax.random.split(key)
-        att_on = jnp.logical_and(cfg.gen.use_attention, step >= 10000)
+        att_on = jnp.logical_and(cfg.gen.use_attention,
+                                 step >= cfg.attention_warm_iter)
         lr = sched(step)
         c_src = batch.src_label * 2.0 - 1.0
         c_trg = batch.trg_label * 2.0 - 1.0
@@ -440,7 +442,8 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
         step = state.step
         key = jax.random.fold_in(state.rng, step)
         k_d, k_g = jax.random.split(key)
-        att_on = jnp.logical_and(cfg.gen.use_attention, step >= 10000)
+        att_on = jnp.logical_and(cfg.gen.use_attention,
+                                 step >= cfg.attention_warm_iter)
         lr = sched(step)
 
         dis_params, dis_opt_state, d_metrics = dis_update(

@@ -32,7 +32,14 @@ class FiniteGuard:
     batch sizes is survivable; persistent NaN is not)."""
 
     def __init__(self, every: int = 100, patience: int = 2,
-                 keys=("loss_gen_total", "loss_dis_all")):
+                 keys=("loss_gen_total", "loss_dis_all",
+                       "grad_gen_norm", "grad_dis_norm")):
+        # keys cover both loss totals AND both gradient global-norms: a NaN
+        # can first appear in a gradient (e.g. through the penalty paths)
+        # one fetch-window before it reaches the loss scalars.  `every` is
+        # a sync-cost knob — each check fetches len(keys) device scalars —
+        # so the worst case is every*patience steps of poisoned training;
+        # see config.py guard_every/guard_patience for the exposed knobs.
         self.every = every
         self.patience = patience
         self.keys = keys

@@ -50,6 +50,48 @@ def test_guard_skips_off_cadence():
     assert g.check(55, {"loss_gen_total": float("nan")})
 
 
+def test_guard_watches_grad_norms():
+    """A NaN can surface in a gradient global-norm a window before the loss
+    scalars go bad (e.g. through the penalty paths); the default key set
+    must catch it while the losses are still finite (VERDICT r4 item 7)."""
+    g = FiniteGuard(every=1, patience=1)
+    assert g.check(1, {"loss_gen_total": 1.0, "loss_dis_all": 1.0,
+                       "grad_gen_norm": 2.0, "grad_dis_norm": 3.0})
+    with pytest.raises(NonFiniteLossError, match="grad_gen_norm"):
+        g.check(2, {"loss_gen_total": 1.0, "loss_dis_all": 1.0,
+                    "grad_gen_norm": float("nan"), "grad_dis_norm": 3.0})
+
+
+def test_guard_patience_window_worst_case():
+    """The documented worst case is exactly every*patience steps of NaN
+    training before the trip: with every=100, patience=2 the guard stays
+    silent through step 199 and must have raised by step 200."""
+    g = FiniteGuard(every=100, patience=2)
+    bad = {"loss_gen_total": float("nan")}
+    for step in range(1, 200):  # steps 1..199: at most one strike lands
+        if step % 100 == 0:
+            assert not g.check(step, bad)  # strike, no raise yet
+        else:
+            assert g.check(step, bad)  # off-cadence: not even read
+    with pytest.raises(NonFiniteLossError):
+        g.check(200, bad)
+
+
+def test_guard_config_knobs():
+    """cfg.guard_every / cfg.guard_patience exist, validate, and feed the
+    guard (guard_every=0 means 'ride log_iter')."""
+    from dwcgan_tpu.config import config_from_dict
+    cfg = config_from_dict({"guard_every": 7, "guard_patience": 3})
+    g = FiniteGuard(every=cfg.guard_every or cfg.log_iter,
+                    patience=cfg.guard_patience)
+    assert (g.every, g.patience) == (7, 3)
+    cfg0 = config_from_dict({})
+    assert (FiniteGuard(every=cfg0.guard_every or cfg0.log_iter).every
+            == cfg0.log_iter)
+    with pytest.raises(AssertionError):
+        config_from_dict({"guard_patience": 0})
+
+
 def test_profiling_annotate():
     from dwcgan_tpu.utils.profiling import annotate
     import jax.numpy as jnp

@@ -192,18 +192,24 @@ def test_lr_schedule_cosa_restarts():
 
 @pytest.mark.slow
 def test_attention_gate_uses_step():
-    """Raw decode before iter 10000 when attention enabled; blended after.
-    Validated indirectly: the metric graph must not recompile across the
-    threshold (same jitted fn object), and losses stay finite."""
-    cfg = tiny_cfg()
+    """Raw decode before iter cfg.attention_warm_iter when attention is
+    enabled; blended after.  Validated indirectly: the metric graph must
+    not recompile across the threshold (same jitted fn object; the gate is
+    a step-indexed predicate inside the program), and losses stay finite.
+    Parameterized by the round-5 `attention_warm_iter` knob (default 10000
+    = reference parity, solver.py:109-111) — crossing a small custom gate
+    here exercises the same code path steps 9999->10001 did."""
+    assert tiny_cfg().attention_warm_iter == 10000  # parity default
+    cfg = tiny_cfg(attention_warm_iter=5)
     mesh = create_mesh()
     state, step_fn = make_everything(cfg)
     state = place_state(state, mesh)
-    state = state.replace(step=jnp.asarray(9999, jnp.int32))
+    state = state.replace(step=jnp.asarray(cfg.attention_warm_iter - 1,
+                                           jnp.int32))
     state, m = step_fn(state, device_batch(cfg, mesh, seed=0))
     assert np.isfinite(float(m["loss_gen_total"]))
     state, m = step_fn(state, device_batch(cfg, mesh, seed=1))
-    assert int(state.step) == 10001
+    assert int(state.step) == cfg.attention_warm_iter + 1
     assert np.isfinite(float(m["loss_gen_total"]))
 
 
