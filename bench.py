@@ -202,6 +202,9 @@ def main():
         v = os.environ["BENCH_PARITY"]
         cfg.parity_convs = {"0": False, "1": True}.get(v, v)
     # A/B the norm-statistics strategy: "2pass" (reference-exact) / "1pass"
+    # A/B the fused Pallas stem kernel (ops/pallas/stem_kernels.py)
+    if os.environ.get("BENCH_STEM") is not None:
+        cfg.stem_pallas = os.environ["BENCH_STEM"] != "0"
     if os.environ.get("BENCH_NORM_STATS"):
         cfg.norm_stats = os.environ["BENCH_NORM_STATS"]
 

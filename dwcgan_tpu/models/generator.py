@@ -66,6 +66,7 @@ class ContentEncoder(nn.Module):
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     use_pallas: bool = False
     parity: bool = False
+    stem_pallas: bool = False   # fused Pallas 7x7 stem (ops/pallas/stem_kernels)
 
     @property
     def output_dim(self) -> int:
@@ -79,7 +80,8 @@ class ContentEncoder(nn.Module):
         kw = dict(activ=self.activ, pad_type=self.pad_type, dtype=self.dtype,
                   kernel_init=self.kernel_init, use_pallas=self.use_pallas)
         d = self.dim
-        x = Conv2dBlock(d, 7, 1, 3, norm="in", parity=self.parity, **kw)(x)
+        x = Conv2dBlock(d, 7, 1, 3, norm="in", parity=self.parity,
+                        stem_pallas=self.stem_pallas, **kw)(x)
         for _ in range(self.n_downsample):
             d = min(d * 2, 256)
             x = Conv2dBlock(d, 4, 2, 1, norm="in", **kw)(x)
@@ -103,13 +105,15 @@ class StyleEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     parity: bool = False
+    stem_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         kw = dict(norm="none", activ=self.activ, pad_type=self.pad_type,
                   dtype=self.dtype, kernel_init=self.kernel_init)
         d = self.dim
-        x = Conv2dBlock(d, 7, 1, 3, parity=self.parity, **kw)(x)
+        x = Conv2dBlock(d, 7, 1, 3, parity=self.parity,
+                        stem_pallas=self.stem_pallas, **kw)(x)
         for _ in range(2):
             x = Conv2dBlock(2 * d, 4, 2, 1, **kw)(x)
             d *= 2
@@ -320,6 +324,7 @@ class Generator(nn.Module):
     use_pallas: bool = False
     parity_stems: bool = False   # parity-space 7x7 encoder stems
     parity_head: bool = False    # parity-space decoder output head
+    stem_pallas: bool = False    # fused Pallas 7x7 encoder stems
 
     def setup(self):
         c = self.cfg
@@ -328,11 +333,12 @@ class Generator(nn.Module):
             dim=c.dim, n_downsample=c.style_downsample, c_dim=c.c_dim,
             num_cls=c.num_cls, activ=c.activ, pad_type=c.pad_type,
             use_map=c.use_map, dtype=self.dtype, kernel_init=ki,
-            parity=self.parity_stems)
+            parity=self.parity_stems, stem_pallas=self.stem_pallas)
         self.enc_content = ContentEncoder(
             dim=c.dim, n_downsample=c.content_downsample, n_res=c.n_res,
             activ=c.activ, pad_type=c.pad_type, dtype=self.dtype, kernel_init=ki,
-            use_pallas=self.use_pallas, parity=self.parity_stems)
+            use_pallas=self.use_pallas, parity=self.parity_stems,
+            stem_pallas=self.stem_pallas)
         content_dim = self.enc_content.output_dim
         self.dec = Decoder(
             dim=content_dim, out_dim=self.input_dim,

@@ -148,9 +148,24 @@ class Conv2dBlock(nn.Module):
     kernel_init: Callable = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
     use_pallas: bool = False    # fused Pallas instance-norm path (TPU)
     parity: bool = False        # parity-space rewrite of lane-starved stems
+    stem_pallas: bool = False   # fused Pallas 7x7 stem kernel (TPU)
 
     @nn.compact
     def __call__(self, x, adain_scale=None, adain_bias=None):
+        if self.stem_pallas:
+            from dwcgan_tpu.ops.pallas.stem_kernels import (
+                stem_applicable, stem_conv7, stem_fits_vmem)
+            if stem_applicable(self.kernel_size, self.stride, self.padding,
+                               x.shape[-1], self.norm, self.activ) \
+                    and stem_fits_vmem(x.shape, self.features):
+                kern, bias = _ConvKB(self.features, self.kernel_size,
+                                     x.shape[-1], self.kernel_init,
+                                     name="Conv_0")()
+                # whole pad+conv+IN+act chain inside the kernel; parameter
+                # tree unchanged (same Conv_0 kernel/bias as nn.Conv)
+                return stem_conv7(x.astype(self.dtype),
+                                  kern.astype(self.dtype), bias,
+                                  self.norm, self.activ, self.pad_type)
         rewrite = None
         if self.parity and self.norm != "sn":
             from dwcgan_tpu.ops.parity_conv import parity_applicable

@@ -88,11 +88,17 @@ def build_models(cfg: Config, vocab_size: int,
     use_pallas = bool(cfg.use_pallas) and jax.default_backend() == "tpu"
     mode = cfg.parity_convs if isinstance(cfg.parity_convs, str) else \
         ("all" if cfg.parity_convs else "off")
+    # fused Pallas stem kernel only on real TPU (CPU tests use the jnp
+    # path; the kernel itself is pinned in interpret mode by
+    # tests/test_stem_kernels.py)
+    stem_pallas = bool(getattr(cfg, "stem_pallas", False)) \
+        and jax.default_backend() == "tpu"
     gen = Generator(cfg=cfg.gen, input_dim=cfg.input_dim, vocab_size=vocab_size,
                     dtype=dtype, init_type=cfg.init,
                     embed_init_table=embed_table, use_pallas=use_pallas,
                     parity_stems=mode in ("all", "stems"),
-                    parity_head=mode in ("all", "head"))
+                    parity_head=mode in ("all", "head"),
+                    stem_pallas=stem_pallas)
     # parity applies to the generator only: the D-stem (4x4/s2) rewrite
     # measured SLOWER than XLA's native lowering (docs/PERF.md round-3 A/B),
     # while the 7x7 encoder stems and the decoder head win.  The flag stays

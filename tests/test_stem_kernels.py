@@ -83,6 +83,30 @@ def test_stem_gradients_match_reference(norm, act, pad_type):
         set_stats_mode(prev)
 
 
+def test_conv2dblock_stem_pallas_equivalence():
+    """Conv2dBlock(stem_pallas=True) must match the default path exactly in
+    values and parameter-tree layout (same Conv_0 kernel/bias)."""
+    from dwcgan_tpu.ops.blocks import Conv2dBlock
+    from dwcgan_tpu.ops.norms import get_stats_mode, set_stats_mode
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    ref_blk = Conv2dBlock(8, 7, 1, 3, norm="in", activ="relu",
+                          pad_type="reflect")
+    ker_blk = Conv2dBlock(8, 7, 1, 3, norm="in", activ="relu",
+                          pad_type="reflect", stem_pallas=True)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    prev = get_stats_mode()
+    set_stats_mode("1pass")
+    try:
+        want = ref_blk.apply(params, x)
+        got = ker_blk.apply(params, x)  # same param tree by construction
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        set_stats_mode(prev)
+
+
 def test_stem_applicable_gate():
     assert stem_applicable(7, 1, 3, 3, "in", "relu")
     assert stem_applicable(7, 1, 3, 3, "none", "relu")
