@@ -22,7 +22,10 @@ import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import numpy as np
-assert jax.default_backend() == 'tpu', jax.default_backend()
+import os, functools as ft
+INTERP = os.environ.get('BISECT_INTERP') == '1'
+assert INTERP or jax.default_backend() == 'tpu', jax.default_backend()
+PC = ft.partial(pl.pallas_call, interpret=INTERP)
 
 K, PAD, C = 7, 3, 64
 N, H, W = 2, 32, 32
@@ -55,7 +58,7 @@ WSP = pl.BlockSpec((148, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def run(kernel, extra_in=(), extra_specs=()):
-    f = pl.pallas_call(
+    f = PC(
         kernel, grid=(N,),
         in_specs=[IMG, WSP, *extra_specs],
         out_specs=OUT,
@@ -127,7 +130,7 @@ def k(x_ref, w_ref, g_ref, o_ref, dw_ref):
     o_ref[0] = gc
 
 g = jnp.asarray(rng.normal(size=(N, C, H, W)), jnp.bfloat16)
-f = pl.pallas_call(
+f = PC(
     k, grid=(N,),
     in_specs=[IMG, WSP, OUT],
     out_specs=(OUT, pl.BlockSpec((148, C), lambda i: (0, 0),
@@ -156,7 +159,7 @@ def k(x_ref, w_ref, g_ref, dx_ref):
     dx_ref[0] = acc.astype(dx_ref.dtype)
 
 g = jnp.asarray(rng.normal(size=(N, C, H, W)), jnp.bfloat16)
-f = pl.pallas_call(
+f = PC(
     k, grid=(N,),
     in_specs=[IMG, WSP, OUT],
     out_specs=IMG,
@@ -164,6 +167,67 @@ f = pl.pallas_call(
 dx = jax.jit(f)(xp, w2p, g)
 jax.block_until_ready(dx)
 print('OK', dx.shape, bool(jnp.isfinite(dx.astype(jnp.float32)).all()))
+""",
+    # 9: variant-C conv — dot_general(p, w2p) -> [H, W, C] (channels on
+    # lanes, the PROVEN norm-kernel layout), conv only
+    "p9_convC_hwc": COMMON + """
+OUTC = pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM)
+def k(x_ref, w_ref, o_ref):
+    x = x_ref[0]
+    t = list(taps(x, H, W))
+    t.append(jnp.ones((1, H, W), x.dtype))
+    p = jnp.concatenate(t, axis=0)
+    y = jax.lax.dot_general(
+        p, w_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, W, C]
+    o_ref[0] = y.astype(o_ref.dtype)
+f = PC(
+    k, grid=(N,), in_specs=[IMG, WSP], out_specs=OUTC,
+    out_shape=jax.ShapeDtypeStruct((N, H, W, C), jnp.bfloat16))
+y = jax.jit(f)(xp, w2p)
+jax.block_until_ready(y)
+print('OK', y.shape, bool(jnp.isfinite(y.astype(jnp.float32)).all()))
+""",
+    # 10: variant-C full — [H, W, C] conv + IN stats reducing to [1, 1, C]
+    # (lanes preserved, the norm_kernels.py idiom) + relu
+    "p10_fullC_hwc_in": COMMON + """
+OUTC = pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM)
+def k(x_ref, w_ref, o_ref):
+    x = x_ref[0]
+    t = list(taps(x, H, W))
+    t.append(jnp.ones((1, H, W), x.dtype))
+    p = jnp.concatenate(t, axis=0)
+    y = jax.lax.dot_general(
+        p, w_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, W, C]
+    hw = H * W
+    mean = jnp.sum(y, axis=(0, 1), keepdims=True) / hw    # [1, 1, C]
+    m2 = jnp.sum(y * y, axis=(0, 1), keepdims=True) / hw
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    o_ref[0] = jnp.maximum((y - mean) * rstd, 0.0).astype(o_ref.dtype)
+f = PC(
+    k, grid=(N,), in_specs=[IMG, WSP], out_specs=OUTC,
+    out_shape=jax.ShapeDtypeStruct((N, H, W, C), jnp.bfloat16))
+y = jax.jit(f)(xp, w2p)
+jax.block_until_ready(y)
+print('OK', y.shape, bool(jnp.isfinite(y.astype(jnp.float32)).all()))
+""",
+    # 11: in-kernel transpose [C, H, W] -> [H, W, C] after the planar dot
+    "p11_transpose_chw_hwc": COMMON + """
+OUTC = pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM)
+def k(x_ref, w_ref, o_ref):
+    y = conv(x_ref[0], w_ref[:])                          # [C, H, W]
+    o_ref[0] = jnp.transpose(y, (1, 2, 0)).astype(o_ref.dtype)
+f = PC(
+    k, grid=(N,), in_specs=[IMG, WSP], out_specs=OUTC,
+    out_shape=jax.ShapeDtypeStruct((N, H, W, C), jnp.bfloat16))
+y = jax.jit(f)(xp, w2p)
+jax.block_until_ready(y)
+print('OK', y.shape, bool(jnp.isfinite(y.astype(jnp.float32)).all()))
 """,
     # 7: full current fwd (norm=in) via the real module, tiny shape
     "p7_module_fwd_tiny": """
