@@ -207,6 +207,9 @@ def main():
         cfg.stem_pallas = os.environ["BENCH_STEM"] != "0"
     if os.environ.get("BENCH_NORM_STATS"):
         cfg.norm_stats = os.environ["BENCH_NORM_STATS"]
+    # A/B the normalize-arithmetic precision ("fp32"/"bf16", ops/norms.py)
+    if os.environ.get("BENCH_NORM_COMPUTE"):
+        cfg.norm_compute = os.environ["BENCH_NORM_COMPUTE"]
 
     n_dev = len(jax.devices())
     mesh = create_mesh(data=n_dev, model=1)

@@ -206,6 +206,10 @@ class Config:
     # (2 reads — fewer HBM bytes on the bandwidth-saturated norm chains;
     # A/B + quality replication in docs/PERF.md).
     norm_stats: str = "2pass"
+    # "fp32" = reference-parity normalize arithmetic; "bf16" = run the
+    # (x-mean)*rstd[*scale+bias] chain in the activation dtype (stats stay
+    # fp32-accumulated either way) — measured lever, ops/norms.py.
+    norm_compute: str = "fp32"
     # share ONE generator forward between the D and G phases of the fused
     # step (n_critic == 1 only): D consumes stop-gradient'ed fakes from the
     # same forward whose vjp later backs G's update, instead of recomputing
@@ -231,6 +235,7 @@ class Config:
         assert self.n_critic >= 1
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.norm_stats in ("2pass", "1pass"), self.norm_stats
+        assert self.norm_compute in ("fp32", "bf16"), self.norm_compute
         assert self.attention_warm_iter >= 0
         assert self.guard_every >= 0 and self.guard_patience >= 1
         self.gen.validate()

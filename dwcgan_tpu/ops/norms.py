@@ -53,6 +53,34 @@ def get_stats_mode() -> str:
     return _STATS_MODE
 
 
+# How the normalize ARITHMETIC runs (VERDICT r4 item 3b).  Statistics are
+# always accumulated in fp32 (see above); this flag only controls the
+# elementwise (x - mean) * rstd [* scale + bias] chain:
+#
+# - "fp32" (default, reference parity): upcast x, normalize in fp32, cast
+#   the result back to compute dtype.
+# - "bf16": cast the per-(N,C) scalars down once and run the chain in the
+#   activation dtype.  The hypothesis under test is that the fp32
+#   intermediates inside XLA's norm fusions cost VPU width / VMEM locality;
+#   the activations' HBM bytes are bf16 either way, so any win (or loss)
+#   is measured, not assumed — A/B in docs/PERF.md.
+_COMPUTE_MODE = "fp32"
+
+
+def set_compute_mode(mode: str) -> None:
+    global _COMPUTE_MODE
+    assert mode in ("fp32", "bf16"), mode
+    _COMPUTE_MODE = mode
+
+
+def get_compute_mode() -> str:
+    return _COMPUTE_MODE
+
+
+def _low_precision(x) -> bool:
+    return _COMPUTE_MODE == "bf16" and x.dtype != jnp.float32
+
+
 def _moments_hw(x: jnp.ndarray):
     """Per-(N, C) mean/variance over spatial dims of an NHWC tensor, fp32."""
     x32 = x.astype(jnp.float32)
@@ -71,7 +99,10 @@ def instance_norm(x: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     x: [N, H, W, C] -> normalized, same shape/dtype.
     """
     mean, var = _moments_hw(x)
-    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    rstd = jax.lax.rsqrt(var + eps)
+    if _low_precision(x):
+        return (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    y = (x.astype(jnp.float32) - mean) * rstd
     return y.astype(x.dtype)
 
 
@@ -108,6 +139,11 @@ def adain(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     module-state assignment, networks.py:693-719).
     """
     mean, var = _moments_hw(x)
+    if _low_precision(x):
+        rstd = jax.lax.rsqrt(var + eps)
+        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+        return y * scale.astype(x.dtype)[:, None, None, :] \
+            + bias.astype(x.dtype)[:, None, None, :]
     y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + eps)
     y = y * scale.astype(jnp.float32)[:, None, None, :] \
         + bias.astype(jnp.float32)[:, None, None, :]

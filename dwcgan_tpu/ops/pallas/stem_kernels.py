@@ -22,16 +22,32 @@ VMEM, with no XLA-visible layout round-trip:
   `norm_stats: 1pass` default) and the activation run on the conv result
   while it is still VMEM-resident.
 
-The custom VJP saves only (padded input, stats): the backward kernel
-recomputes the conv once (FLOPs are this conv's cheap currency; VMEM is
-the scarce one), then computes dW with per-tap contractions and dX with
-per-tap dot_generals + rotate-accumulates — never materializing the
-[147, H, W] tensor the forward uses, which keeps the backward under the
-VMEM roof at the flagship 128px/64ch shape.
+The bias rides as a ones-row appended to the patch tensor (K = 148), so
+no lane->sublane broadcast reshapes exist anywhere (Mosaic rejects them).
+The custom VJP saves only the padded input and flat weights: the backward
+kernel recomputes the conv and its statistics once (FLOPs are this conv's
+cheap currency; VMEM is the scarce one), then computes dW/db with per-tap
+contractions (the ones-tap row IS db) and dX with per-tap dot_generals +
+rotate-accumulates — never materializing the [148, H, W] tensor the
+forward uses, which keeps the backward under the VMEM roof at the
+flagship 128px/64ch shape.
 
 Correctness is pinned against the jnp reference path by
 tests/test_stem_kernels.py in interpret mode (CPU) — float32 agreement at
 ~1e-6, values and gradients.
+
+STATUS (round 5): the Mosaic TPU compiler shipped in this environment
+cannot lower this kernel — or any reformulation of it — to hardware.
+`tools/stem_bisect_r5.py` (log: tools/stem_bisect_r5.log) isolates the
+three blockers: (1) every matmul-shaped view of the patch tensor needs a
+sublane->lane merge (`tpu.reshape vector<148x32x32> -> vector<148x1024>`:
+"infer-vector-layout: unsupported shape cast"); (2) the VJP's per-tap
+contractions need 2 contracting dims ("tpu.matmul: lhs contracting dims
+must be of size 1"); (3) dX accumulation needs scatter-add (unimplemented
+primitive). The kernel stays in-tree, interpret-mode-tested and gated
+behind `cfg.stem_pallas` (default off) + `stem_applicable`/`stem_fits_vmem`,
+as the evidence trail and for future Mosaic versions; the full closure
+argument is in docs/PERF.md "Round-5 stem lever".
 """
 
 from __future__ import annotations
@@ -82,14 +98,16 @@ def _tap_slices(xp, h, w):
             yield jax.lax.slice(xp, (0, dr, dc), (3, dr + h, dc + w))
 
 
-def _conv_stats(xp, w2, b, norm):
-    """Planar conv via ONE K=147 contraction + optional IN stats."""
+def _conv_stats(xp, w2p, norm):
+    """Planar conv via ONE K=148 contraction (last row = bias against a
+    ones-tap) + optional IN stats in natural keepdims layout."""
     h, wd = xp.shape[1] - 2 * PAD, xp.shape[2] - 2 * PAD
-    p = jnp.concatenate(list(_tap_slices(xp, h, wd)), axis=0)  # [147, H, W]
+    taps = list(_tap_slices(xp, h, wd))
+    taps.append(jnp.ones((1, h, wd), xp.dtype))                # bias tap
+    p = jnp.concatenate(taps, axis=0)                          # [148, H, W]
     y = jax.lax.dot_general(
-        w2, p, dimension_numbers=(((0,), (0,)), ((), ())),
+        w2p, p, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [C, H, W]
-    y = y + b.reshape(-1, 1, 1)
     if norm != "in":
         return y, None, None
     hw = h * wd
@@ -100,68 +118,54 @@ def _conv_stats(xp, w2, b, norm):
     return y, mean, rstd
 
 
-def _stem_fwd_kernel(xp_ref, w_ref, b_ref, o_ref, stat_ref,
-                     *, norm: str, act: str):
+def _stem_fwd_kernel(xp_ref, w_ref, o_ref, *, norm: str, act: str):
     """One image: planar conv + (IN) + activation, all VMEM-resident."""
-    y, mean, rstd = _conv_stats(xp_ref[0], w_ref[:], b_ref[0], norm)
+    y, mean, rstd = _conv_stats(xp_ref[0], w_ref[:], norm)
     if norm == "in":
         y = (y - mean) * rstd
-        stat_ref[0] = jnp.concatenate(
-            [mean[:, 0, :], rstd[:, 0, :]], axis=1)
-    else:
-        stat_ref[0] = jnp.zeros_like(stat_ref[0])
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _stem_fwd(xp, w2, b, norm, act, out_dtype):
+def _stem_fwd(xp, w2p, norm, act, out_dtype):
     n, _, hp, wp = xp.shape
     h, wd = hp - 2 * PAD, wp - 2 * PAD
-    c = w2.shape[1]
+    c = w2p.shape[1]
     img = pl.BlockSpec((1, 3, hp, wp), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((147, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    stat = pl.BlockSpec((1, c, 2), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    y, stats = pl.pallas_call(
+    wspec = pl.BlockSpec((148, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         functools.partial(_stem_fwd_kernel, norm=norm, act=act),
         grid=(n,),
-        in_specs=[img, wspec, bspec],
-        out_specs=(out, stat),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, c, h, wd), out_dtype),
-            jax.ShapeDtypeStruct((n, c, 2), jnp.float32),
-        ),
+        in_specs=[img, wspec],
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((n, c, h, wd), out_dtype),
         interpret=_use_interpret(),
-    )(xp, w2, b.reshape(1, c))
-    return y, stats
+    )(xp, w2p)
 
 
 # --------------------------------------------------------------------------
 # backward
 # --------------------------------------------------------------------------
 
-def _stem_bwd_kernel(xp_ref, w_ref, b_ref, stat_ref, g_ref,
-                     dxp_ref, dw_ref, db_ref,
+def _stem_bwd_kernel(xp_ref, w_ref, g_ref, dxp_ref, dw_ref,
                      *, norm: str, act: str):
-    """One image: recompute conv/xhat, backprop activation+IN, then dW via
-    49 per-tap contractions and dX via 49 per-tap dot_generals — the
-    [147, H, W] tensor is never materialized here (VMEM headroom)."""
+    """One image: recompute conv + stats, backprop activation+IN, then
+    dW/db via 50 per-tap contractions (the ones-tap row is db) and dX via
+    49 per-tap dot_generals + rotate-accumulates — the [148, H, W] patch
+    tensor is never materialized here (VMEM headroom)."""
     i = pl.program_id(0)
     xp = xp_ref[0]
-    w2 = w_ref[:]
+    w2p = w_ref[:]
     h, wd = g_ref.shape[2], g_ref.shape[3]
 
-    y, _, _ = _conv_stats(xp, w2, b_ref[0], "none")
+    y, mean, rstd = _conv_stats(xp, w2p, norm)
     g = g_ref[0].astype(jnp.float32)
     if norm == "in":
         hw = h * wd
-        mean = stat_ref[0, :, 0].reshape(-1, 1, 1)
-        rstd = stat_ref[0, :, 1].reshape(-1, 1, 1)
         xhat = (y - mean) * rstd
         if act == "relu":
             g = jnp.where(xhat > 0.0, g, 0.0)
@@ -177,24 +181,26 @@ def _stem_bwd_kernel(xp_ref, w_ref, b_ref, stat_ref, g_ref,
     @pl.when(i == 0)
     def _init():
         dw_ref[:] = jnp.zeros_like(dw_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
 
-    db_ref[:] += jnp.sum(gc.astype(jnp.float32), axis=(1, 2)).reshape(1, -1)
-
-    # dW[(dr,dc,ci), c] = sum_{r,w} xp[ci, r+dr, w+dc] * gc[c, r, w]
+    # dW[(dr,dc,ci), c] = sum_{r,w} xp[ci, r+dr, w+dc] * gc[c, r, w];
+    # the trailing ones-tap row accumulates db
     dw_taps = []
     for sl in _tap_slices(xp, h, wd):
         dw_taps.append(jax.lax.dot_general(
             sl, gc, dimension_numbers=(((1, 2), (1, 2)), ((), ())),
             preferred_element_type=jnp.float32))           # [3, C]
-    dw_ref[:] += jnp.concatenate(dw_taps, axis=0)          # [147, C]
+    dw_taps.append(jax.lax.dot_general(
+        jnp.ones((1, h, wd), gc.dtype), gc,
+        dimension_numbers=(((1, 2), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32))               # [1, C] == db
+    dw_ref[:] += jnp.concatenate(dw_taps, axis=0)          # [148, C]
 
-    # dX: per-tap dp = w2_tap^T-contraction of gc, rotate-accumulated
+    # dX: per-tap dp = w2_tap-contraction of gc, rotate-accumulated
     acc = jnp.zeros((3, h + 2 * PAD, wd + 2 * PAD), jnp.float32)
     t = 0
     for dr in range(K):
         for dc in range(K):
-            wt = jax.lax.slice(w2, (3 * t, 0), (3 * t + 3, w2.shape[1]))
+            wt = jax.lax.slice(w2p, (3 * t, 0), (3 * t + 3, w2p.shape[1]))
             dpt = jax.lax.dot_general(
                 wt, gc, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [3, H, W]
@@ -203,48 +209,44 @@ def _stem_bwd_kernel(xp_ref, w_ref, b_ref, stat_ref, g_ref,
     dxp_ref[0] = acc.astype(dxp_ref.dtype)
 
 
-def _stem_bwd(xp, w2, b, stats, g, norm, act):
+def _stem_bwd(xp, w2p, g, norm, act):
     n, _, hp, wp = xp.shape
     h, wd = hp - 2 * PAD, wp - 2 * PAD
-    c = w2.shape[1]
+    c = w2p.shape[1]
     img = pl.BlockSpec((1, 3, hp, wp), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.BlockSpec((1, c, h, wd), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((147, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    stat = pl.BlockSpec((1, c, 2), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    dxp, dw, db = pl.pallas_call(
+    wspec = pl.BlockSpec((148, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dxp, dwb = pl.pallas_call(
         functools.partial(_stem_bwd_kernel, norm=norm, act=act),
         grid=(n,),
-        in_specs=[img, wspec, bspec, stat, out],
-        out_specs=(img, wspec,
-                   pl.BlockSpec((1, c), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)),
+        in_specs=[img, wspec, out],
+        out_specs=(img, wspec),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-            jax.ShapeDtypeStruct((147, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((148, c), jnp.float32),
         ),
         interpret=_use_interpret(),
-    )(xp, w2, b.reshape(1, c), stats, g)
-    return dxp, dw, db.reshape(c)
+    )(xp, w2p, g)
+    return dxp, dwb
 
 
 # --------------------------------------------------------------------------
 # public op with custom VJP
 # --------------------------------------------------------------------------
 
-def _pack(x, w, pad_type):
-    """NHWC image + HWIO kernel -> planar padded input + flat weights."""
+def _pack(x, w, b, pad_type):
+    """NHWC image + HWIO kernel -> planar padded input + flat weights with
+    the bias appended as row 147 (it contracts against a ones-tap)."""
     mode = {"reflect": "reflect", "replicate": "edge",
             "zero": "constant"}[pad_type]
     xpl = jnp.transpose(x, (0, 3, 1, 2))                   # [N, 3, H, W]
     xp = jnp.pad(xpl, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode=mode)
-    # W2[(dr*K+dc)*3 + ci, co] = w[dr, dc, ci, co]
-    w2 = w.reshape(K * K * 3, -1).astype(x.dtype)
-    return xp, w2
+    # W2[(dr*K+dc)*3 + ci, co] = w[dr, dc, ci, co]; W2[147] = b
+    w2 = w.reshape(K * K * 3, -1)
+    w2p = jnp.concatenate([w2, b.reshape(1, -1)], axis=0).astype(x.dtype)
+    return xp, w2p
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -262,19 +264,20 @@ def stem_conv7(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 
 def _stem_fwd_rule(x, w, b, norm, act, pad_type):
-    xp, w2 = _pack(x, w, pad_type)
-    y, stats = _stem_fwd(xp, w2, b.astype(jnp.float32), norm, act, x.dtype)
+    xp, w2p = _pack(x, w, b, pad_type)
+    y = _stem_fwd(xp, w2p, norm, act, x.dtype)
     out = jnp.transpose(y, (0, 2, 3, 1))                   # NHWC
-    return out, (xp, w2, b.astype(jnp.float32), stats)
+    return out, (xp, w2p)
 
 
 def _stem_bwd_rule(norm, act, pad_type, res, gout):
-    xp, w2, b, stats = res
+    xp, w2p = res
     g = jnp.transpose(gout, (0, 3, 1, 2))                  # planar
-    dxp, dw2, db = _stem_bwd(xp, w2, b, stats, g, norm, act)
+    dxp, dwb = _stem_bwd(xp, w2p, g, norm, act)
     dx_pl = _unpad_grad(dxp.astype(jnp.float32), pad_type)
     dx = jnp.transpose(dx_pl, (0, 2, 3, 1)).astype(gout.dtype)
-    dw = dw2.reshape(K, K, 3, -1)
+    dw = dwb[:K * K * 3].reshape(K, K, 3, -1)
+    db = dwb[K * K * 3]
     return dx, dw, db
 
 

@@ -22,8 +22,9 @@ from dwcgan_tpu.train.sampling import blend_attention, sample_style, style_repla
 
 def make_infer_fn(cfg: Config, gen):
     """Returns jittable infer(params, image, txt, txt_len) -> edited image."""
-    from dwcgan_tpu.ops.norms import set_stats_mode
+    from dwcgan_tpu.ops.norms import set_compute_mode, set_stats_mode
     set_stats_mode(cfg.norm_stats)
+    set_compute_mode(getattr(cfg, "norm_compute", "fp32"))
 
     def infer(params, x_real, txt, txt_len):
         content, mu, _ = gen.apply({"params": params}, x_real, method="encode")

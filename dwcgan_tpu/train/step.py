@@ -93,8 +93,9 @@ def make_train_step(cfg: Config, gen, dis, gen_tx, dis_tx,
             "reference flagship uses 'none', configs/celeba_faces.yaml).")
     # norm-statistics strategy is read at trace time (ops/norms.py); set it
     # here so the step traced from this factory uses cfg.norm_stats
-    from dwcgan_tpu.ops.norms import set_stats_mode
+    from dwcgan_tpu.ops.norms import set_compute_mode, set_stats_mode
     set_stats_mode(cfg.norm_stats)
+    set_compute_mode(getattr(cfg, "norm_compute", "fp32"))
     K, C = cfg.gen.num_cls, cfg.c_dim
     stddev = cfg.stddev
     sigma_sq = cfg.stddev ** 2
