@@ -21,6 +21,7 @@ from typing import List, Tuple
 
 import numpy as np
 
+from dwcgan_tpu.data.drawkey import draw_key
 from dwcgan_tpu.text.synthesis import CELEBA_ATTRS, TextSynthesizer
 from dwcgan_tpu.text.vocab import Vocab, tokens_to_ids
 
@@ -79,6 +80,7 @@ class CelebADataset:
         self.seed = seed
         self.rng = random.Random(seed)
         self.synth = TextSynthesizer(self.rng)
+        self._rng_salt = 0
 
         self.samples = self._parse(attr_path, selected_attrs, seed, test_split)
 
@@ -91,6 +93,7 @@ class CelebADataset:
         `DataPipeline` with salt=process_index when process_count > 1;
         never called single-process, so single-host behavior is unchanged.
         """
+        self._rng_salt = salt
         self.rng = random.Random(self.seed * 1_000_003 + 7919 * (salt + 1))
         self.synth = TextSynthesizer(self.rng)
 
@@ -120,16 +123,29 @@ class CelebADataset:
 
     def __getitem__(self, index: int):
         """Returns (image [H,W,3] f32 in [-1,1], src_label, trg_label, txt_ids, txt_len)."""
-        fname, src_label = self.samples[index]
-        _, trg_label = self.rng.choice(self.samples)
+        return self._make_item(index, self.rng, self.synth)
 
-        command = self.synth.labels2text(np.array(src_label), np.array(trg_label))
+    def item(self, index: int, epoch: int):
+        """Deterministic variant of __getitem__: augmentation (target
+        pairing, text synthesis, flip) keyed by (seed, host salt, epoch,
+        index) instead of the shared stateful RNG — content independent of
+        prefetch-thread scheduling (reference DataLoader reproducibility;
+        see data/drawkey.py)."""
+        rng = random.Random(draw_key(self.seed, self._rng_salt, epoch, index))
+        return self._make_item(index, rng, TextSynthesizer(rng))
+
+    def _make_item(self, index: int, rng: random.Random,
+                   synth: TextSynthesizer):
+        fname, src_label = self.samples[index]
+        _, trg_label = rng.choice(self.samples)
+
+        command = synth.labels2text(np.array(src_label), np.array(trg_label))
         ids, lens = tokens_to_ids([command.split()], self.vocab, self.max_text_len)
 
         if Image is None:
             raise RuntimeError("Pillow not available; use the synthetic pipeline")
         img = Image.open(os.path.join(self.image_dir, fname)).convert("RGB")
-        if self.mode == "train" and self.rng.random() < 0.5:
+        if self.mode == "train" and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         image = _center_crop_resize(img, self.crop_size, self.image_size,
                                     self.resize_backend)

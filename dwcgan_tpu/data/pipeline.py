@@ -114,30 +114,46 @@ class DataPipeline:
             # construction stays process-identical by contract
             dataset.reseed_augmentation(self.process_index)
 
-    def _index_stream(self) -> Iterator[np.ndarray]:
+    def _index_stream(self) -> Iterator[tuple]:
         """Per-epoch: every process draws the SAME permutation (seeded by
         `self.seed` alone — deliberately NOT process-salted) and takes a
         disjoint strided slice of it, so the union of all hosts' batches
         covers the epoch with no duplicated rows.  process_count == 1
-        reduces exactly to the single-host behavior of rounds 1-4."""
+        reduces exactly to the single-host behavior of rounds 1-4.
+        Yields (epoch, idxs); the epoch feeds the per-item draw key."""
         rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
+        epoch = 0
         while True:
             order = rng.permutation(n) if self.shuffle else np.arange(n)
             mine = order[self.process_index :: self.process_count]
             m = len(mine)
             stop = m - (m % self.batch_size) if self.drop_last else m
             for i in range(0, stop, self.batch_size):
-                yield mine[i : i + self.batch_size]
+                yield epoch, mine[i : i + self.batch_size]
+            epoch += 1
 
-    def _collate(self, idxs: Sequence[int]) -> Batch:
-        items = [self.dataset[int(i)] for i in idxs]
+    def _collate(self, idxs: Sequence[int], epoch: int) -> Batch:
+        # datasets exposing item(index, epoch) get deterministic keyed
+        # augmentation (content independent of worker scheduling); plain
+        # __getitem__ datasets keep their stateful-RNG behavior
+        if hasattr(self.dataset, "item"):
+            items = [self.dataset.item(int(i), epoch) for i in idxs]
+        else:
+            items = [self.dataset[int(i)] for i in idxs]
         return Batch(*(np.stack([it[k] for it in items]) for k in range(5)))
 
     def __iter__(self) -> Iterator[Batch]:
-        """Infinite batch iterator with background prefetch."""
+        """Infinite batch iterator with background prefetch.
+
+        Deterministic end to end (reference DataLoader parity): workers
+        take numbered batches from the index stream and the consumer
+        re-emits them in stream order via a reorder buffer, so the batch
+        sequence a training run sees does not depend on thread scheduling.
+        The buffer is bounded by prefetch + num_workers in-flight items.
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stream = self._index_stream()
+        stream = enumerate(self._index_stream())
         lock = threading.Lock()
         stop = threading.Event()
 
@@ -145,30 +161,35 @@ class DataPipeline:
             while not stop.is_set():
                 try:
                     with lock:
-                        idxs = next(stream)
-                    item = self._collate(idxs)
+                        seq, (epoch, idxs) = next(stream)
+                    item = (seq, self._collate(idxs, epoch))
                 except BaseException as e:  # surface in the consumer, don't die silently
-                    item = e
+                    item = (-1, e)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.5)
                         break
                     except queue.Full:
                         continue
-                if isinstance(item, BaseException):
+                if isinstance(item[1], BaseException):
                     return
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
+            want = 0
+            ahead: dict = {}
             while True:
-                item = q.get()
-                if isinstance(item, BaseException):
-                    # a worker failed (missing image, decode error, ...);
-                    # re-raise in the training loop instead of hanging
-                    raise RuntimeError("data pipeline worker failed") from item
-                yield item
+                while want not in ahead:
+                    seq, item = q.get()
+                    if isinstance(item, BaseException):
+                        # a worker failed (missing image, decode error, ...);
+                        # re-raise in the training loop instead of hanging
+                        raise RuntimeError("data pipeline worker failed") from item
+                    ahead[seq] = item
+                yield ahead.pop(want)
+                want += 1
         finally:
             stop.set()
 

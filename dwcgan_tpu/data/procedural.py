@@ -30,6 +30,7 @@ from typing import Tuple
 
 import numpy as np
 
+from dwcgan_tpu.data.drawkey import draw_key
 from dwcgan_tpu.text.synthesis import TextSynthesizer
 from dwcgan_tpu.text.vocab import Vocab, tokens_to_ids
 
@@ -286,12 +287,28 @@ class ProceduralFaceDataset:
         return img
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, ...]:
+        return self._make_item(index, self.rng, self.synth)
+
+    def item(self, index: int, epoch: int) -> Tuple[np.ndarray, ...]:
+        """Deterministic variant of __getitem__: augmentation (target
+        pairing, text synthesis, flip) is keyed by (seed, host salt,
+        epoch, index) instead of drawn from the shared stateful RNG, so
+        item content is independent of prefetch-thread scheduling —
+        reference DataLoader reproducibility, stateless-key style
+        (data/drawkey.py)."""
+        rng = random.Random(draw_key(
+            self.seed + (1 if self.mode == "test" else 0),
+            self._rng_salt, epoch, index))
+        return self._make_item(index, rng, TextSynthesizer(rng))
+
+    def _make_item(self, index: int, rng: random.Random,
+                   synth: TextSynthesizer) -> Tuple[np.ndarray, ...]:
         src_label = self.labels[index]
-        trg_label = self.labels[self.rng.randrange(len(self.labels))]
-        command = self.synth.labels2text(src_label, trg_label)
+        trg_label = self.labels[rng.randrange(len(self.labels))]
+        command = synth.labels2text(src_label, trg_label)
         ids, lens = tokens_to_ids([command.split()], self.vocab, self.max_text_len)
         image = self.render(index)
-        if self.mode == "train" and self.rng.random() < 0.5:
+        if self.mode == "train" and rng.random() < 0.5:
             image = image[:, ::-1].copy()
         return (image, src_label.astype(np.float32),
                 trg_label.astype(np.float32), ids[0], lens[0])

@@ -86,7 +86,7 @@ def test_pipeline_process_sharding_host_only():
     legacy_rng = np.random.default_rng(3)
     legacy = legacy_rng.permutation(64)
     s = ref._index_stream()
-    got = np.concatenate([next(s) for _ in range(16)])
+    got = np.concatenate([next(s)[1] for _ in range(16)])
     np.testing.assert_array_equal(got, legacy)
 
     # (b) two processes: disjoint slices, union covers the epoch
@@ -95,8 +95,8 @@ def test_pipeline_process_sharding_host_only():
     b = DataPipeline(make_ds(), 4, seed=3, num_workers=1,
                      process_index=1, process_count=2)
     sa, sb = a._index_stream(), b._index_stream()
-    ia = np.concatenate([next(sa) for _ in range(8)])
-    ib = np.concatenate([next(sb) for _ in range(8)])
+    ia = np.concatenate([next(sa)[1] for _ in range(8)])
+    ib = np.concatenate([next(sb)[1] for _ in range(8)])
     assert set(ia) & set(ib) == set()
     assert sorted(np.concatenate([ia, ib])) == list(range(64))
 
