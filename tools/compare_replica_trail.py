@@ -14,10 +14,17 @@ end-to-end check of two headline claims at once:
     boundaries; if resume dropped or replayed even one optimizer step or
     data batch, every post-resume loss would diverge from the straight run.
 
-GAN losses are chaotic, so tiny numeric differences (async dispatch order,
-different save cadence changing nothing mathematically but e.g. allocator
-layout) can grow; the interesting signal is the step at which trajectories
-decorrelate, if any, and whether early steps match closely.
+MEASURED ANSWER (2026-08-19): they do NOT match, from the very first
+common step — and neither do the two r4 q8k attempts at step 100. Root
+cause found in the pipeline, not in resume: prefetch threads raced the
+output queue (batch order) and the shared augmentation RNG (item
+content), so same-seed runs of rounds 1-5 were never bitwise-reproducible
+(the torch reference's order-preserving DataLoader IS). Fixed via
+order-preserving prefetch + (seed, salt, epoch, index)-keyed draws
+(data/drawkey.py, tests/test_pipeline_determinism.py); runs launched
+after the fix replicate at the data-stream level. The r5d replica
+(launched before the fix) is a fresh same-seed sample of the same
+training distribution.
 
 Usage: python tools/compare_replica_trail.py [replica_log] [recovered_trail]
 Writes a table to stdout; exit 0 always (reporting tool, not a gate).
