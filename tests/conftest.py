@@ -42,6 +42,7 @@ COMPILE_MODULES = {
     "test_entry_and_dryrun", "test_cross_topology_ckpt", "test_legacy",
     "test_pallas_kernels", "test_parity_conv", "test_convert_weights",
     "test_torch_import", "test_warm_start", "test_stem_kernels",
+    "test_run_determinism",
 }
 
 
